@@ -13,7 +13,9 @@ from tpu2048.ops.board import (
     max_tile_value,
     move,
     move_all,
+    sample_spawn,
     select_move,
+    spawn_at,
     spawn_random_tile,
     values_to_exponents,
 )
@@ -34,7 +36,9 @@ __all__ = [
     "merge_rows_left",
     "move",
     "move_all",
+    "sample_spawn",
     "select_move",
+    "spawn_at",
     "spawn_random_tile",
     "values_to_exponents",
 ]

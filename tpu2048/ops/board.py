@@ -129,31 +129,64 @@ def is_game_over(board):
     return ~jnp.any(moved, axis=0)
 
 
-def spawn_random_tile(board, key):
-    """Spawn a 2 (p=0.9) or 4 (p=0.1) on a uniformly-random empty cell.
+def sample_spawn(board, key):
+    """Draw a spawn decision for ``board``: which empty cell, which value.
 
-    Pure equivalent of the reference's ``add_number`` (Game2048_env.py:16-20).
-    Single-board function — ``vmap`` it with per-board split keys for the
-    batched path. If the board has no empty cell, it is returned unchanged.
+    Distributionally equivalent to the reference's ``add_number``
+    (Game2048_env.py:16-20): uniform over empty cells in row-major order,
+    value 2 with p=0.9 else 4.
 
     Args:
       board: ``(4, 4)`` int8 exponent board.
       key: PRNG key.
 
     Returns:
-      ``(4, 4)`` int8 board with one new tile (exponent 1 or 2).
+      ``(empty_idx, val)``: int32 index into the row-major sequence of empty
+      cells (0-based) and int8 exponent (1 or 2) to place there.
+    """
+    empty = board.reshape(16) == 0
+    n_empty = jnp.sum(empty.astype(jnp.int32))
+    k_pos, k_val = jax.random.split(key)
+    idx = jax.random.randint(k_pos, (), 0, jnp.maximum(n_empty, 1))
+    val = jnp.where(jax.random.uniform(k_val) < 0.9, 1, 2).astype(jnp.int8)
+    return idx, val
+
+
+def spawn_at(board, empty_idx, val):
+    """Place ``val`` on the ``empty_idx``-th empty cell (row-major).
+
+    Deterministic half of the spawn — the parity harness feeds it decisions
+    extracted from the reference environment, the RNG path feeds it
+    :func:`sample_spawn`. No-op if the board has no empty cell. Gather-free:
+    the write is a one-hot select, so it batches under ``vmap`` with no
+    scatters.
+
+    Args:
+      board: ``(4, 4)`` int8 exponent board.
+      empty_idx: int32 index among empty cells (row-major).
+      val: int8 exponent to place (1 for "2", 2 for "4").
+
+    Returns:
+      ``(4, 4)`` int8 board.
     """
     flat = board.reshape(16)
     empty = flat == 0
     n_empty = jnp.sum(empty.astype(jnp.int32))
-    k_pos, k_val = jax.random.split(key)
-    # Uniform index among empties; guard n_empty == 0.
-    idx = jax.random.randint(k_pos, (), 0, jnp.maximum(n_empty, 1))
     csum = jnp.cumsum(empty.astype(jnp.int32))
-    target = (csum == idx + 1) & empty
-    val = jnp.where(jax.random.uniform(k_val) < 0.9, 1, 2).astype(jnp.int8)
-    new_flat = jnp.where(target & (n_empty > 0), val, flat)
+    target = (csum == empty_idx + 1) & empty
+    new_flat = jnp.where(target & (n_empty > 0), jnp.int8(val), flat)
     return new_flat.reshape(4, 4)
+
+
+def spawn_random_tile(board, key):
+    """Spawn a 2 (p=0.9) or 4 (p=0.1) on a uniformly-random empty cell.
+
+    Pure equivalent of the reference's ``add_number`` (Game2048_env.py:16-20).
+    Single-board function — ``vmap`` it with per-board split keys for the
+    batched path. If the board has no empty cell, it is returned unchanged.
+    """
+    idx, val = sample_spawn(board, key)
+    return spawn_at(board, idx, val)
 
 
 def init_board(key):
