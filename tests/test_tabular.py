@@ -1,0 +1,176 @@
+"""Tabular agent tests: Q-table semantics, update math, epsilon schedule,
+and a short end-to-end learning run (SURVEY.md §4 item 2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu2048.agents import tabular as tab
+from tpu2048.env import EnvConfig, SHAPED
+from tpu2048.training.tabular import (
+    TabularTrainConfig,
+    init_train_state,
+    train_chunk,
+)
+
+
+def boards_from(*vals):
+    out = []
+    for v in vals:
+        out.append(jnp.asarray(v, jnp.int8))
+    return jnp.stack(out)
+
+
+B1 = [[1, 0, 0, 0], [0, 2, 0, 0], [0, 0, 3, 0], [0, 0, 0, 0]]
+B2 = [[0, 1, 0, 0], [0, 2, 0, 0], [0, 0, 3, 0], [0, 0, 0, 0]]
+B3 = [[5, 5, 0, 0], [0, 0, 0, 0], [1, 0, 0, 2], [0, 0, 0, 0]]
+
+
+def test_pack_board_distinct():
+    lo1, hi1 = tab.pack_board(jnp.asarray(B1, jnp.int8))
+    lo2, hi2 = tab.pack_board(jnp.asarray(B2, jnp.int8))
+    assert (int(lo1), int(hi1)) != (int(lo2), int(hi2))
+
+
+def test_lookup_unseen_is_zero():
+    table = tab.qtable_init(10)
+    q = tab.qtable_lookup(table, boards_from(B1, B2))
+    np.testing.assert_array_equal(np.asarray(q), np.zeros((2, 4)))
+
+
+def test_update_then_lookup_roundtrip():
+    table = tab.qtable_init(10)
+    boards = boards_from(B1, B2)
+    actions = jnp.asarray([2, 3])
+    targets = jnp.asarray([1.0, -0.5])
+    table = tab.qtable_update(table, boards, actions, targets, 0.1)
+    q = np.asarray(tab.qtable_lookup(table, boards))
+    # Q[s,a] += lr * (target - 0)
+    assert q[0, 2] == pytest.approx(0.1)
+    assert q[1, 3] == pytest.approx(-0.05)
+    assert (q[0, [0, 1, 3]] == 0).all()
+    assert int(table.dropped) == 0
+    # Second update moves toward target from the stored value.
+    table = tab.qtable_update(table, boards, actions, targets, 0.1)
+    q2 = np.asarray(tab.qtable_lookup(table, boards))
+    assert q2[0, 2] == pytest.approx(0.1 + 0.1 * (1.0 - 0.1))
+
+
+def test_update_matches_reference_math():
+    """Full Q-update chain vs hand-computed reference values
+    (Agent/main.py:40-43)."""
+    lr, gamma = 0.1, 0.9
+    table = tab.qtable_init(10)
+    s, s2 = boards_from(B1), boards_from(B3)
+    # Seed Q[s2] with known values via direct updates.
+    for a, tgt in [(0, 2.0), (1, 5.0), (2, 1.0), (3, 0.0)]:
+        table = tab.qtable_update(
+            table, s2, jnp.asarray([a]), jnp.asarray([tgt]), 1.0
+        )
+    np.testing.assert_allclose(
+        np.asarray(tab.qtable_lookup(table, s2))[0], [2.0, 5.0, 1.0, 0.0]
+    )
+    # Non-terminal update: target = r + gamma * max Q[s'] = 1 + .9*5 = 5.5
+    reward = jnp.asarray([1.0])
+    targets = tab.q_learning_targets(
+        table, reward, s2, jnp.asarray([False]), gamma
+    )
+    assert float(targets[0]) == pytest.approx(5.5)
+    table = tab.qtable_update(table, s, jnp.asarray([1]), targets, lr)
+    assert float(tab.qtable_lookup(table, s)[0, 1]) == pytest.approx(0.1 * 5.5)
+    # Terminal update ignores Q[s'].
+    targets_t = tab.q_learning_targets(
+        table, reward, s2, jnp.asarray([True]), gamma
+    )
+    assert float(targets_t[0]) == pytest.approx(1.0)
+
+
+def test_duplicate_states_in_batch_combine():
+    table = tab.qtable_init(10)
+    boards = boards_from(B1, B1, B1)
+    actions = jnp.asarray([0, 0, 1])
+    targets = jnp.asarray([1.0, 1.0, 2.0])
+    table = tab.qtable_update(table, boards, actions, targets, 0.1)
+    q = np.asarray(tab.qtable_lookup(table, boards_from(B1)))[0]
+    # Both action-0 updates read Q=0 and add lr*1.0 each.
+    assert q[0] == pytest.approx(0.2)
+    assert q[1] == pytest.approx(0.2)
+
+
+def test_choose_actions_greedy_and_explore():
+    table = tab.qtable_init(10)
+    s = boards_from(B1)
+    table = tab.qtable_update(table, s, jnp.asarray([3]), jnp.asarray([10.0]), 1.0)
+    # epsilon=0 -> always greedy -> action 3.
+    acts = [
+        int(
+            tab.choose_actions(table, s, 0.0, jax.random.PRNGKey(i))[0]
+        )
+        for i in range(8)
+    ]
+    assert acts == [3] * 8
+    # epsilon=1 -> uniform random: all 4 actions appear over many draws.
+    acts = [
+        int(tab.choose_actions(table, s, 1.0, jax.random.PRNGKey(i))[0])
+        for i in range(64)
+    ]
+    assert set(acts) == {0, 1, 2, 3}
+
+
+def _reference_epsilon_schedule(total_epochs, e0=1.0, emin=0.01):
+    """Independent replication of the reference's iterative decay
+    (Agent/main.py:23-32,45-57) for oracle comparison."""
+    first = total_epochs * 0.30
+    second = total_epochs * 0.60
+    third = total_epochs * 0.80
+    slow1 = (e0 - emin * 1.5) / first
+    fast = ((e0 - emin) - emin * 1.5) / (second - first)
+    slow2 = (emin * 1.1 - emin) / (third - second)
+    eps = e0
+    out = [eps]
+    for epoch in range(total_epochs):
+        if epoch < first:
+            eps = max(emin * 1.5, eps - slow1)
+        elif epoch < second:
+            eps = max(emin * 1.1, eps - fast)
+        elif epoch < third:
+            eps = max(emin, eps - slow2)
+        else:
+            eps = emin
+        out.append(eps)
+    return out
+
+
+@pytest.mark.parametrize("total", [10, 100, 333])
+def test_epsilon_schedule_matches_reference(total):
+    cfg = tab.TabularConfig(total_epochs=total)
+    oracle = _reference_epsilon_schedule(total)
+    ours = np.asarray(
+        tab.epsilon_for_epoch(jnp.arange(total + 1, dtype=jnp.float32), cfg)
+    )
+    np.testing.assert_allclose(ours, oracle, atol=1e-5)
+
+
+def test_tabular_training_chunk_learns():
+    """End-to-end: a few jitted chunks on the shaped env should populate the
+    Q-table, finish episodes, and produce finite stats."""
+    config = TabularTrainConfig(
+        agent=tab.TabularConfig(total_epochs=100, capacity_log2=16),
+        env=EnvConfig(reward=SHAPED),
+        batch_size=64,
+        steps_per_chunk=64,
+        total_episodes=100,
+    )
+    chunk = jax.jit(lambda s: train_chunk(config, s))
+    state = init_train_state(config)
+    for _ in range(4):
+        state, eps = chunk(state)
+    assert int(state.env_steps) == 4 * 64 * 64
+    assert int(jnp.sum(state.table.occupied)) > 100
+    assert int(state.episodes_done) > 0
+    assert int(state.best_tile) >= 16
+    assert np.isfinite(float(state.sum_return))
+    assert int(jnp.sum(state.action_counts)) == int(state.env_steps)
+    # Q-values were actually written.
+    assert float(jnp.sum(jnp.abs(state.table.q))) > 0

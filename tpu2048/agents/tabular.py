@@ -1,0 +1,221 @@
+"""Tabular Q-learning agent — hashed-state Q-table resident in HBM.
+
+TPU-native re-design of the reference's ``QLearningAgent``
+(/root/reference/QLearningBase/Agent/main.py:14-57). The reference keys a
+``defaultdict(np.zeros(4))`` by the board tuple; here the Q-table is a
+fixed-capacity open-addressed hash table of device arrays so that thousands
+of lookups and updates run per step as one gather + one scatter:
+
+* A board packs into 64 bits (16 cells x 4-bit exponents), stored as two
+  uint32 words (JAX default x64-off).
+* Linear probing over ``PROBES`` slots; unseen states read as zeros —
+  exactly the reference's defaultdict semantics (Agent/main.py:16).
+* Batched Q-update: ``Q[s,a] += lr * (r + gamma * max Q[s'] * (1-done)
+  - Q[s,a])`` (Agent/main.py:40-43) as a verified scatter-add. Duplicate
+  states inside one batch combine additively (each reads the same pre-update
+  value) — a documented delta vs the serial reference.
+* The 4-phase piecewise-linear epsilon decay (Agent/main.py:23-32,45-57) is
+  reproduced in closed form as a pure function of the epoch.
+
+Full-table capacity is configurable; the default 2**24 slots cost ~0.4 GB
+of HBM (a 2048 run effectively never revisits states, so size generously).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+PROBES = 8  # linear-probe window
+
+
+@dataclasses.dataclass(frozen=True)
+class TabularConfig:
+    """Hyperparameters (defaults = Agent/main.py:15)."""
+
+    learning_rate: float = 0.1
+    discount: float = 0.9
+    exploration_rate: float = 1.0
+    exploration_min: float = 0.01
+    total_epochs: int = 20000
+    capacity_log2: int = 24  # Q-table slots = 2**capacity_log2 (~0.4 GB; 2048 states rarely repeat)
+
+
+@struct.dataclass
+class QTable:
+    key_lo: jax.Array  # (S,) uint32 packed cells 0..7
+    key_hi: jax.Array  # (S,) uint32 packed cells 8..15
+    occupied: jax.Array  # (S,) bool
+    q: jax.Array  # (S, 4) f32
+    dropped: jax.Array  # () int32 — updates lost to probe-window overflow
+
+    @property
+    def capacity(self) -> int:
+        return self.key_lo.shape[0]
+
+
+def qtable_init(capacity_log2: int = 20) -> QTable:
+    s = 1 << capacity_log2
+    return QTable(
+        key_lo=jnp.zeros((s,), jnp.uint32),
+        key_hi=jnp.zeros((s,), jnp.uint32),
+        occupied=jnp.zeros((s,), bool),
+        q=jnp.zeros((s, 4), jnp.float32),
+        dropped=jnp.zeros((), jnp.int32),
+    )
+
+
+def pack_board(board):
+    """``(..., 4, 4)`` int8 exponents -> (lo, hi) uint32 words.
+
+    Exponents clip at 15 to fit 4 bits (tile 32768 — beyond the reference's
+    16-channel encoding anyway, Dqn8TestNOPERCNN.py:274).
+    """
+    cells = jnp.clip(board.reshape(*board.shape[:-2], 16), 0, 15).astype(
+        jnp.uint32
+    )
+    shifts = (jnp.arange(8, dtype=jnp.uint32) * 4)[(None,) * (cells.ndim - 1)]
+    lo = jnp.sum(cells[..., :8] << shifts, axis=-1).astype(jnp.uint32)
+    hi = jnp.sum(cells[..., 8:] << shifts, axis=-1).astype(jnp.uint32)
+    return lo, hi
+
+
+def _hash(lo, hi, capacity: int):
+    """Murmur3-style finalizer over the two words -> slot index."""
+    h = lo ^ (hi * jnp.uint32(0x9E3779B1))
+    h ^= h >> 16
+    h *= jnp.uint32(0x85EBCA6B)
+    h ^= h >> 13
+    h *= jnp.uint32(0xC2B2AE35)
+    h ^= h >> 16
+    return (h & jnp.uint32(capacity - 1)).astype(jnp.int32)
+
+
+def _probe(table: QTable, lo, hi):
+    """Vectorized probe: for each key return (match_slot, free_slot).
+
+    ``match_slot``/``free_slot`` are -1 when not found within the window.
+    """
+    capacity = table.capacity
+    base = _hash(lo, hi, capacity)  # (B,)
+    offs = jnp.arange(PROBES, dtype=jnp.int32)
+    slots = (base[:, None] + offs[None, :]) & (capacity - 1)  # (B, P)
+    occ = table.occupied[slots]
+    match = occ & (table.key_lo[slots] == lo[:, None]) & (
+        table.key_hi[slots] == hi[:, None]
+    )
+    free = ~occ
+    first_match = jnp.argmax(match, axis=1)
+    has_match = jnp.any(match, axis=1)
+    first_free = jnp.argmax(free, axis=1)
+    has_free = jnp.any(free, axis=1)
+    match_slot = jnp.where(
+        has_match, jnp.take_along_axis(slots, first_match[:, None], 1)[:, 0], -1
+    )
+    free_slot = jnp.where(
+        has_free, jnp.take_along_axis(slots, first_free[:, None], 1)[:, 0], -1
+    )
+    return match_slot, free_slot
+
+
+def qtable_lookup(table: QTable, boards):
+    """Batched read: ``(B, 4)`` Q-values, zeros for unseen states."""
+    lo, hi = pack_board(boards)
+    match_slot, _ = _probe(table, lo, hi)
+    q = table.q[jnp.maximum(match_slot, 0)]
+    return jnp.where((match_slot >= 0)[:, None], q, 0.0)
+
+
+def qtable_update(table: QTable, boards, actions, targets, learning_rate):
+    """Batched Q-update toward ``targets`` (scatter-add of the TD step).
+
+    Inserts unseen states (claiming a free probe slot, zero-initialized),
+    then verifies claims — when two new states race for one slot, the loser
+    drops its update and is counted in ``table.dropped``.
+    """
+    lo, hi = pack_board(boards)
+    match_slot, free_slot = _probe(table, lo, hi)
+    slot = jnp.where(match_slot >= 0, match_slot, free_slot)
+    valid = slot >= 0
+    safe_slot = jnp.maximum(slot, 0)
+
+    # Claim free slots (arbitrary winner on conflict), then verify.
+    is_new = (match_slot < 0) & valid
+    claim_slot = jnp.where(is_new, safe_slot, 0)
+    key_lo = table.key_lo.at[claim_slot].set(
+        jnp.where(is_new, lo, table.key_lo[claim_slot])
+    )
+    key_hi = table.key_hi.at[claim_slot].set(
+        jnp.where(is_new, hi, table.key_hi[claim_slot])
+    )
+    occupied = table.occupied.at[claim_slot].set(
+        jnp.where(is_new, True, table.occupied[claim_slot])
+    )
+    won = (key_lo[safe_slot] == lo) & (key_hi[safe_slot] == hi) & occupied[safe_slot]
+    valid = valid & won
+
+    q_sa = table.q[safe_slot, actions]
+    q_sa = jnp.where(is_new & valid, 0.0, q_sa)  # fresh rows read as zero
+    td = learning_rate * (targets - q_sa)
+    td = jnp.where(valid, td, 0.0)
+    q = table.q.at[safe_slot, actions].add(td)
+
+    dropped = table.dropped + jnp.sum((~valid).astype(jnp.int32))
+    return QTable(key_lo=key_lo, key_hi=key_hi, occupied=occupied, q=q,
+                  dropped=dropped)
+
+
+def q_learning_targets(table: QTable, rewards, next_boards, dones, discount):
+    """``r + gamma * max_a' Q[s'] * (1 - done)`` (Agent/main.py:40-43)."""
+    q_next = qtable_lookup(table, next_boards)
+    best = jnp.max(q_next, axis=-1)
+    return rewards + discount * best * (1.0 - dones.astype(jnp.float32))
+
+
+def choose_actions(table: QTable, boards, epsilon, key):
+    """Batched epsilon-greedy (Agent/main.py:34-38).
+
+    Random branch is uniform over all 4 actions; greedy branch is argmax of
+    the state's Q-row (zeros -> action 0, matching np.argmax on zeros).
+    """
+    b = boards.shape[0]
+    k_expl, k_act = jax.random.split(key)
+    explore = jax.random.uniform(k_expl, (b,)) < epsilon
+    random_actions = jax.random.randint(k_act, (b,), 0, 4)
+    greedy = jnp.argmax(qtable_lookup(table, boards), axis=-1).astype(jnp.int32)
+    return jnp.where(explore, random_actions, greedy)
+
+
+def epsilon_for_epoch(epoch, config: TabularConfig):
+    """Closed form of the reference's iterative 4-phase decay.
+
+    Phases at 30% / 60% / 80% of ``total_epochs`` with per-phase slopes and
+    floors (Agent/main.py:23-32,45-57). ``epoch`` is the number of completed
+    epochs (decay applications).
+    """
+    t = float(config.total_epochs)
+    e0 = config.exploration_rate
+    emin = config.exploration_min
+    b1, b2, b3 = 0.30 * t, 0.60 * t, 0.80 * t
+    slow1 = (e0 - emin * 1.5) / b1
+    fast = ((e0 - emin) - emin * 1.5) / (b2 - b1)
+    slow2 = (emin * 1.1 - emin) / (b3 - b2)
+
+    # Integer counts of decay applications per phase: the reference decays
+    # once per integer epoch e' < epoch, phase chosen by e' vs the (possibly
+    # fractional) boundaries.
+    import math
+
+    n1, n2, n3 = math.ceil(b1), math.ceil(b2), math.ceil(b3)
+    epoch = jnp.asarray(epoch, jnp.float32)
+    k1 = jnp.clip(epoch, 0.0, n1)
+    k2 = jnp.clip(epoch - n1, 0.0, n2 - n1)
+    k3 = jnp.clip(epoch - n2, 0.0, n3 - n2)
+    eps = jnp.maximum(emin * 1.5, e0 - slow1 * k1)
+    eps = jnp.where(k2 > 0, jnp.maximum(emin * 1.1, eps - fast * k2), eps)
+    eps = jnp.where(k3 > 0, jnp.maximum(emin, eps - slow2 * k3), eps)
+    eps = jnp.where(epoch > n3, emin, eps)
+    return eps
