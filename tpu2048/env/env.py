@@ -112,19 +112,19 @@ def _fresh_boards(key, batch_size: int):
 def reset(config: EnvConfig, key, batch_size: int) -> EnvState:
     """Create a fresh batched environment state."""
     k_boards, k_state = jax.random.split(key)
-    zi = jnp.zeros((batch_size,), jnp.int32)
-    zf = jnp.zeros((batch_size,), jnp.float32)
+    # Every leaf is a fresh buffer (no aliasing) so states are donatable.
+    zi = lambda: jnp.zeros((batch_size,), jnp.int32)  # noqa: E731
     return EnvState(
         board=_fresh_boards(k_boards, batch_size),
         rng=jax.random.split(k_state, batch_size),
-        score=zi,
-        move_score=zi,
+        score=zi(),
+        move_score=zi(),
         prev_max=jnp.full((batch_size,), 2, jnp.int32),
         consec_action=jnp.full((batch_size,), -1, jnp.int32),
-        consec_count=zi,
+        consec_count=zi(),
         last_consec_penalty=jnp.full((batch_size,), -1.0, jnp.float32),
-        episode_return=zf,
-        episode_steps=zi,
+        episode_return=jnp.zeros((batch_size,), jnp.float32),
+        episode_steps=zi(),
         done=jnp.zeros((batch_size,), bool),
     )
 

@@ -1,0 +1,111 @@
+"""Multi-kernel CNN Q-network — flax re-design of the reference DQNModel.
+
+Topology mirrors /root/reference/Deep_QLearning/main_dir/
+Dqn8TestNOPERCNN.py:202-246: three multi-kernel conv blocks (four parallel
+convs with kernel sizes 1/2/3/4, each ``features/4`` filters, SAME padding,
+concatenated, ReLU), then Flatten -> Dense(1024, relu) -> Dropout(0.5) ->
+Dense(4, linear).
+
+TPU-first deltas from the reference (documented, intentional):
+
+* Input is NHWC ``(B, 4, 4, 16)`` — the TPU-native layout — instead of the
+  reference's channels-first ``(1, 16, 4, 4)`` (Dqn8:276-277). The
+  operation is identical modulo layout.
+* The 16-channel one-hot encoding of log2 tile values
+  (``DQNAgent.encode_state``, Dqn8:271-277) is fused into the module: the
+  board is stored as int8 exponents everywhere, so "encoding" is a single
+  ``jax.nn.one_hot`` on device, not a host preprocessing step.
+* Convolutions and dense layers compute in bfloat16 on the MXU with
+  float32 parameters and a float32 output head.
+* The reference's per-block double ReLU (``conv_block`` ends in ReLU and
+  ``_build_model`` adds another, Dqn8:213-218,246) is idempotent and
+  collapsed to one.
+
+Parameter count: 96.77M per network (the reference's "~198M" docstring,
+Dqn8:17, counts roughly the online+target pair).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+NUM_TILE_CHANNELS = 16  # one-hot depth, Dqn8:274
+
+
+class MultiKernelConvBlock(nn.Module):
+    """Four parallel convs (k=1..4), concat, ReLU (Dqn8:234-246)."""
+
+    features: int = 2048
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.features // 4
+        outs = [
+            nn.Conv(
+                d,
+                (k, k),
+                padding="SAME",
+                dtype=self.dtype,
+                name=f"conv{k}x{k}",
+            )(x)
+            for k in (1, 2, 3, 4)
+        ]
+        return nn.relu(jnp.concatenate(outs, axis=-1))
+
+
+class DQNCNN(nn.Module):
+    """Q-network over int8 exponent boards -> (B, 4) f32 Q-values."""
+
+    action_space: int = 4
+    features: int = 2048
+    hidden: int = 1024
+    dropout_rate: float = 0.5
+    num_blocks: int = 3
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, boards, *, train: bool = False):
+        # boards: (B, 4, 4) int8 exponents; one-hot = the reference's
+        # encode_state done on device (Dqn8:271-277).
+        x = jax.nn.one_hot(
+            boards.astype(jnp.int32), NUM_TILE_CHANNELS, dtype=self.dtype
+        )
+        for i in range(self.num_blocks):
+            x = MultiKernelConvBlock(
+                features=self.features, dtype=self.dtype, name=f"block{i}"
+            )(x)
+        x = x.reshape((x.shape[0], -1))
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="dense")(x))
+        x = nn.Dropout(rate=self.dropout_rate, deterministic=not train)(x)
+        q = nn.Dense(
+            self.action_space,
+            dtype=jnp.float32,
+            name="head",
+        )(x)
+        return q.astype(jnp.float32)
+
+
+def create_model(config) -> DQNCNN:
+    """Build the network from a DQNConfig-like object."""
+    return DQNCNN(
+        action_space=4,
+        features=config.features,
+        hidden=config.hidden,
+        dropout_rate=config.dropout,
+        num_blocks=config.num_blocks,
+        dtype=jnp.bfloat16 if config.bf16 else jnp.float32,
+    )
+
+
+def init_params(model: DQNCNN, key):
+    dummy = jnp.zeros((1, 4, 4), jnp.int8)
+    return model.init({"params": key}, dummy, train=False)["params"]
+
+
+def param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))

@@ -1,0 +1,305 @@
+"""Batched DQN actor-learner training driver.
+
+TPU-native replacement for the reference's infinite episode loop
+(/root/reference/Deep_QLearning/main_dir/mainDQL_CNN_step2.py:151-334).
+Structural mapping (SURVEY.md §3.2):
+
+* The reference steps ONE env, predicts per move (a device round-trip per
+  action), and runs 100 replay updates when an episode ends. Here B envs
+  step in lockstep inside a jit'd ``lax.scan``; every scan step performs
+  ``updates_per_step`` learner updates, chosen so the samples-learned per
+  environment-step matches the reference's regime (~100 updates x 64 batch
+  / ~165-step episodes ~= 39 samples per env step).
+* The driver's legal-move probing (mainDQL:170-174) is the env's pure
+  ``legal_mask``; its "act_ripetitive when the last remember was a dedup
+  skip" override (mainDQL:176-185) is the ``restrict_to_legal`` lane of
+  :func:`tpu2048.agents.dqn.select_actions`.
+* Terminal bonus shaping the reference does in the driver
+  (mainDQL:202-213) lives in the env (``EnvConfig.terminal_bonus``).
+* Periodic ops keyed on episodes (mainDQL:264-330): target sync @20,
+  buffer prune @50 (10 worst episodes), full checkpoint @100, milestone
+  model saves at 1024/2048 — executed between jitted chunks when the
+  global episode counter crosses a boundary.
+* The x0.98 LR decay on episodes ending at >=1024 (Dqn8:284-285,299-309)
+  triggers at most once per vector step, like the reference's per-step
+  hook (mainDQL:229).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from tpu2048.agents import dqn as dqnlib
+from tpu2048.env import EnvConfig, EnvState, SIMPLE
+from tpu2048.env import env as envlib
+from tpu2048.ops import board as board_ops
+from tpu2048.replay import buffer as replaylib
+
+
+@dataclasses.dataclass(frozen=True)
+class DQNTrainConfig:
+    agent: dqnlib.DQNConfig = dqnlib.DQNConfig()
+    env: EnvConfig = EnvConfig(reward=SIMPLE, terminal_bonus=True)
+    num_envs: int = 128
+    updates_per_step: int = 8  # learner updates per vector env step
+    train_batch: int = 64  # Dqn8:249 batch_size
+    steps_per_chunk: int = 16  # scan length per jit'd call
+    target_sync_episodes: int = 20  # mainDQL:274
+    prune_episodes: int = 50  # mainDQL:318
+    prune_n: int = 10  # mainDQL:320
+    checkpoint_episodes: int = 100  # mainDQL:324
+    epsilon_step_per_env: bool = True  # advance eps counter by B per step
+    seed: int = 0
+
+
+@struct.dataclass
+class DQNLoopState:
+    """Everything the training loop carries across jitted chunks."""
+
+    env_state: EnvState
+    dedup: dqnlib.DedupState
+    buffer: replaylib.ReplayBuffer
+    agent: dqnlib.DQNTrainState
+    rng: jax.Array
+    episodes_done: jax.Array  # () int32
+    env_steps: jax.Array  # () int32
+    # Aggregates over finished episodes (running):
+    sum_return: jax.Array  # () f32
+    sum_score: jax.Array  # () f32
+    sum_length: jax.Array  # () f32
+    best_tile: jax.Array  # () int32
+    tile_hist: jax.Array  # (17,) int32 — final max-tile exponent histogram
+    loss_sum: jax.Array  # () f32
+    loss_count: jax.Array  # () int32
+    last_loss: jax.Array  # () f32
+
+
+def init_loop_state(config: DQNTrainConfig):
+    key = jax.random.PRNGKey(config.seed)
+    k_env, k_agent, k_rng = jax.random.split(key, 3)
+    model, agent_state = dqnlib.create_train_state(config.agent, k_agent)
+    state = DQNLoopState(
+        env_state=envlib.reset(config.env, k_env, config.num_envs),
+        dedup=dqnlib.dedup_init(config.num_envs),
+        buffer=replaylib.replay_init(config.agent.memory_size),
+        agent=agent_state,
+        rng=k_rng,
+        episodes_done=jnp.zeros((), jnp.int32),
+        env_steps=jnp.zeros((), jnp.int32),
+        sum_return=jnp.zeros((), jnp.float32),
+        sum_score=jnp.zeros((), jnp.float32),
+        sum_length=jnp.zeros((), jnp.float32),
+        best_tile=jnp.zeros((), jnp.int32),
+        tile_hist=jnp.zeros((17,), jnp.int32),
+        loss_sum=jnp.zeros((), jnp.float32),
+        loss_count=jnp.zeros((), jnp.int32),
+        last_loss=jnp.zeros((), jnp.float32),
+    )
+    return model, state
+
+
+def train_chunk(config: DQNTrainConfig, model, tx, state: DQNLoopState):
+    """``steps_per_chunk`` vectorized actor steps with interleaved learning.
+
+    Jittable; donate ``state`` for in-place buffer updates.
+    """
+    acfg = config.agent
+    b = config.num_envs
+
+    def learner_round(carry, _):
+        agent, buffer, rng = carry
+        rng, k_sample = jax.random.split(rng)
+        batch, indices, _ = replaylib.replay_sample(
+            buffer, k_sample, config.train_batch, acfg.alpha, acfg.beta
+        )
+        agent, metrics = dqnlib.train_step(acfg, model, tx, agent, batch)
+        buffer = replaylib.replay_update_priorities(
+            buffer, indices, metrics["td_errors"], acfg.priority_epsilon
+        )
+        return (agent, buffer, rng), metrics["loss"]
+
+    def body(st: DQNLoopState, _):
+        rng, k_act, k_learn = jax.random.split(st.rng, 3)
+
+        # --- actor ---------------------------------------------------------
+        boards = st.env_state.board
+        legal = board_ops.legal_moves_mask(boards)
+        eps = dqnlib.epsilon_value(acfg, st.agent.step_counter)
+        actions = dqnlib.select_actions(
+            model,
+            st.agent.params,
+            boards,
+            legal,
+            ~st.dedup.last_saved,
+            eps,
+            k_act,
+        )
+        env_state, ts = envlib.step(config.env, st.env_state, actions)
+        save, dedup = dqnlib.dedup_mask(
+            st.dedup, boards, ts.obs, ts.done, acfg.dedup
+        )
+        buffer = replaylib.replay_add(
+            st.buffer, boards, actions, ts.reward, ts.done, ts.obs, save
+        )
+        agent = st.agent.replace(
+            step_counter=st.agent.step_counter
+            + (b if config.epsilon_step_per_env else 1)
+        )
+        # LR hook: an episode ended whose pre-step board had >=1024
+        # (remember() checks np.max(state), Dqn8:284).
+        trigger = jnp.any(
+            ts.done & (board_ops.max_tile_value(boards) >= acfg.lr_decay_tile)
+        )
+        agent = dqnlib.maybe_decay_lr(acfg, agent, trigger)
+
+        # --- learner -------------------------------------------------------
+        can_train = (buffer.size >= config.train_batch) & (eps < 1.0)
+
+        def do_updates(args):
+            agent, buffer = args
+            (agent, buffer, _), losses = jax.lax.scan(
+                learner_round,
+                (agent, buffer, k_learn),
+                None,
+                length=config.updates_per_step,
+            )
+            return agent, buffer, jnp.mean(losses), jnp.int32(
+                config.updates_per_step
+            )
+
+        def no_updates(args):
+            agent, buffer = args
+            return agent, buffer, jnp.float32(0.0), jnp.int32(0)
+
+        agent, buffer, mean_loss, n_upd = jax.lax.cond(
+            can_train, do_updates, no_updates, (agent, buffer)
+        )
+
+        # --- metrics -------------------------------------------------------
+        done_f = ts.done.astype(jnp.float32)
+        final_exp = jnp.max(ts.obs.reshape(b, 16), axis=-1).astype(jnp.int32)
+        hist_inc = jax.ops.segment_sum(
+            ts.done.astype(jnp.int32), jnp.clip(final_exp, 0, 16), num_segments=17
+        )
+        ep_score = (
+            st.env_state.score + ts.merge_score
+        ).astype(jnp.float32)
+        st = DQNLoopState(
+            env_state=env_state,
+            dedup=dedup,
+            buffer=buffer,
+            agent=agent,
+            rng=rng,
+            episodes_done=st.episodes_done + jnp.sum(ts.done).astype(jnp.int32),
+            env_steps=st.env_steps + b,
+            sum_return=st.sum_return + jnp.sum(ts.episode_return * done_f),
+            sum_score=st.sum_score + jnp.sum(ep_score * done_f),
+            sum_length=st.sum_length + jnp.sum(ts.episode_steps * done_f),
+            best_tile=jnp.maximum(st.best_tile, jnp.max(ts.max_number)),
+            tile_hist=st.tile_hist + hist_inc,
+            loss_sum=st.loss_sum + mean_loss * n_upd,
+            loss_count=st.loss_count + n_upd,
+            last_loss=jnp.where(n_upd > 0, mean_loss, st.last_loss),
+        )
+        return st, eps
+
+    state, eps_trace = jax.lax.scan(
+        body, state, None, length=config.steps_per_chunk
+    )
+    return state, eps_trace[-1]
+
+
+def train(
+    config: DQNTrainConfig,
+    total_episodes: int,
+    log_fn: Optional[Callable[[dict], None]] = None,
+    checkpoint_fn: Optional[Callable[[DQNLoopState, int], None]] = None,
+    milestone_fn: Optional[Callable[[DQNLoopState, int, int], None]] = None,
+    state: Optional[DQNLoopState] = None,
+    model=None,
+) -> List[dict]:
+    """Host loop with the reference's periodic-op cadence.
+
+    ``checkpoint_fn(state, episode)`` fires every ``checkpoint_episodes``
+    (mainDQL:323-330); ``milestone_fn(state, episode, tile)`` fires when a
+    new best tile >= 1024 appears (mainDQL:254-262).
+    """
+    tx = dqnlib.make_optimizer(config.agent)
+    if state is None or model is None:
+        model, state = init_loop_state(config)
+    chunk = jax.jit(
+        lambda s: train_chunk(config, model, tx, s), donate_argnums=0
+    )
+    prune = jax.jit(
+        lambda buf: replaylib.prune_low_score_episodes(buf, config.prune_n),
+        donate_argnums=0,
+    )
+    sync = jax.jit(dqnlib.update_target, donate_argnums=0)
+
+    logs: List[dict] = []
+    prev = dict(ep=0, ret=0.0, score=0.0, length=0.0, loss=0.0, nloss=0,
+                t=time.time(), best=0)
+    last_sync = last_prune = last_ckpt = 0
+    while int(state.episodes_done) < total_episodes:
+        state, eps = chunk(state)
+        ep = int(state.episodes_done)
+
+        if ep // config.target_sync_episodes > last_sync // config.target_sync_episodes:
+            state = state.replace(agent=sync(state.agent))
+            last_sync = ep
+        if ep // config.prune_episodes > last_prune // config.prune_episodes:
+            if int(state.buffer.size) > config.train_batch:
+                state = state.replace(buffer=prune(state.buffer))
+            last_prune = ep
+        best = int(state.best_tile)
+        if milestone_fn and best >= 1024 and best > prev["best"]:
+            milestone_fn(state, ep, best)
+        prev["best"] = max(prev["best"], best)
+        if (
+            checkpoint_fn
+            and ep // config.checkpoint_episodes
+            > last_ckpt // config.checkpoint_episodes
+        ):
+            checkpoint_fn(state, ep)
+            last_ckpt = ep
+
+        now = time.time()
+        d_ep = max(ep - prev["ep"], 1)
+        n_loss = int(state.loss_count)
+        row = {
+            "episodes": ep,
+            "env_steps": int(state.env_steps),
+            "epsilon": float(eps),
+            "lr": float(dqnlib.current_lr(state.agent)),
+            "buffer_size": int(state.buffer.size),
+            "train_steps": int(state.agent.train_steps),
+            "mean_return": (float(state.sum_return) - prev["ret"]) / d_ep,
+            "mean_score": (float(state.sum_score) - prev["score"]) / d_ep,
+            "mean_length": (float(state.sum_length) - prev["length"]) / d_ep,
+            "best_tile": best,
+            "loss": (float(state.loss_sum) - prev["loss"])
+            / max(n_loss - prev["nloss"], 1),
+            "tile_hist": [int(x) for x in state.tile_hist],
+            "steps_per_s": config.num_envs
+            * config.steps_per_chunk
+            / max(now - prev["t"], 1e-9),
+        }
+        prev.update(
+            ep=ep,
+            ret=float(state.sum_return),
+            score=float(state.sum_score),
+            length=float(state.sum_length),
+            loss=float(state.loss_sum),
+            nloss=n_loss,
+            t=now,
+        )
+        logs.append(row)
+        if log_fn:
+            log_fn(row)
+    return logs

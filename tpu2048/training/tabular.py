@@ -56,6 +56,8 @@ class TabularTrainState:
 def init_train_state(config: TabularTrainConfig) -> TabularTrainState:
     key = jax.random.PRNGKey(config.seed)
     k_env, k_rng = jax.random.split(key)
+    # Note: every zero leaf is a fresh array (no aliasing) so the state can
+    # be donated to jitted chunks.
     return TabularTrainState(
         table=tab.qtable_init(config.agent.capacity_log2),
         env_state=envlib.reset(config.env, k_env, config.batch_size),
