@@ -39,7 +39,7 @@ from tpu2048.agents import dqn as dqnlib
 from tpu2048.env import EnvConfig, EnvState, SIMPLE
 from tpu2048.env import env as envlib
 from tpu2048.ops import board as board_ops
-from tpu2048.replay import buffer as replaylib
+from tpu2048.replay import sharded as replaylib
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,6 +50,7 @@ class DQNTrainConfig:
     updates_per_step: int = 8  # learner updates per vector env step
     train_batch: int = 64  # Dqn8:249 batch_size
     steps_per_chunk: int = 16  # scan length per jit'd call
+    replay_shards: int = 1  # data-parallel replay shards (devices)
     target_sync_episodes: int = 20  # mainDQL:274
     prune_episodes: int = 50  # mainDQL:318
     prune_n: int = 10  # mainDQL:320
@@ -87,7 +88,9 @@ def init_loop_state(config: DQNTrainConfig):
     state = DQNLoopState(
         env_state=envlib.reset(config.env, k_env, config.num_envs),
         dedup=dqnlib.dedup_init(config.num_envs),
-        buffer=replaylib.replay_init(config.agent.memory_size),
+        buffer=replaylib.sharded_init(
+            config.agent.memory_size, config.replay_shards
+        ),
         agent=agent_state,
         rng=k_rng,
         episodes_done=jnp.zeros((), jnp.int32),
@@ -115,11 +118,11 @@ def train_chunk(config: DQNTrainConfig, model, tx, state: DQNLoopState):
     def learner_round(carry, _):
         agent, buffer, rng = carry
         rng, k_sample = jax.random.split(rng)
-        batch, indices, _ = replaylib.replay_sample(
+        batch, indices, _ = replaylib.sharded_sample(
             buffer, k_sample, config.train_batch, acfg.alpha, acfg.beta
         )
         agent, metrics = dqnlib.train_step(acfg, model, tx, agent, batch)
-        buffer = replaylib.replay_update_priorities(
+        buffer = replaylib.sharded_update_priorities(
             buffer, indices, metrics["td_errors"], acfg.priority_epsilon
         )
         return (agent, buffer, rng), metrics["loss"]
@@ -144,7 +147,7 @@ def train_chunk(config: DQNTrainConfig, model, tx, state: DQNLoopState):
         save, dedup = dqnlib.dedup_mask(
             st.dedup, boards, ts.obs, ts.done, acfg.dedup
         )
-        buffer = replaylib.replay_add(
+        buffer = replaylib.sharded_add(
             st.buffer, boards, actions, ts.reward, ts.done, ts.obs, save
         )
         agent = st.agent.replace(
@@ -159,7 +162,8 @@ def train_chunk(config: DQNTrainConfig, model, tx, state: DQNLoopState):
         agent = dqnlib.maybe_decay_lr(acfg, agent, trigger)
 
         # --- learner -------------------------------------------------------
-        can_train = (buffer.size >= config.train_batch) & (eps < 1.0)
+        per_shard_batch = config.train_batch // config.replay_shards
+        can_train = (jnp.min(buffer.size) >= per_shard_batch) & (eps < 1.0)
 
         def do_updates(args):
             agent, buffer = args
@@ -236,8 +240,9 @@ def train(
     chunk = jax.jit(
         lambda s: train_chunk(config, model, tx, s), donate_argnums=0
     )
+    prune_per_shard = max(1, config.prune_n // config.replay_shards)
     prune = jax.jit(
-        lambda buf: replaylib.prune_low_score_episodes(buf, config.prune_n),
+        lambda buf: replaylib.sharded_prune(buf, prune_per_shard),
         donate_argnums=0,
     )
     sync = jax.jit(dqnlib.update_target, donate_argnums=0)
@@ -254,7 +259,7 @@ def train(
             state = state.replace(agent=sync(state.agent))
             last_sync = ep
         if ep // config.prune_episodes > last_prune // config.prune_episodes:
-            if int(state.buffer.size) > config.train_batch:
+            if int(replaylib.total_size(state.buffer)) > config.train_batch:
                 state = state.replace(buffer=prune(state.buffer))
             last_prune = ep
         best = int(state.best_tile)
@@ -277,7 +282,7 @@ def train(
             "env_steps": int(state.env_steps),
             "epsilon": float(eps),
             "lr": float(dqnlib.current_lr(state.agent)),
-            "buffer_size": int(state.buffer.size),
+            "buffer_size": int(replaylib.total_size(state.buffer)),
             "train_steps": int(state.agent.train_steps),
             "mean_return": (float(state.sum_return) - prev["ret"]) / d_ep,
             "mean_score": (float(state.sum_score) - prev["score"]) / d_ep,
