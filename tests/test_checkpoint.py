@@ -1,0 +1,105 @@
+"""Checkpoint round-trip tests (SURVEY.md §4 item 4): full-state
+save/restore with identical continued trajectories, resume, rollback."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpu2048.agents.dqn import DQNConfig, make_optimizer
+from tpu2048.checkpoint import CheckpointManager
+from tpu2048.env import EnvConfig, SIMPLE
+from tpu2048.training.dqn import (
+    DQNTrainConfig,
+    init_loop_state,
+    train,
+    train_chunk,
+)
+
+TINY = DQNConfig(
+    features=8,
+    hidden=16,
+    num_blocks=1,
+    bf16=False,
+    dropout=0.0,
+    memory_size=1024,
+    epsilon=0.5,
+)
+
+
+def tiny_config(**kw):
+    defaults = dict(
+        agent=TINY,
+        env=EnvConfig(reward=SIMPLE, terminal_bonus=True),
+        num_envs=16,
+        updates_per_step=1,
+        train_batch=16,
+        steps_per_chunk=8,
+        checkpoint_episodes=10,
+        seed=7,
+    )
+    defaults.update(kw)
+    return DQNTrainConfig(**defaults)
+
+
+def leaves_equal(a, b):
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        if not np.array_equal(np.asarray(x), np.asarray(y)):
+            return False
+    return True
+
+
+def test_roundtrip_identical_continuation(tmp_path):
+    config = tiny_config()
+    tx = make_optimizer(config.agent)
+    model, state = init_loop_state(config)
+    chunk = jax.jit(lambda s: train_chunk(config, model, tx, s))
+    state, _ = chunk(state)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state, wait=True)
+    _, template = init_loop_state(config)
+    restored = mgr.restore(1, template)
+    assert leaves_equal(state, restored)
+
+    # Continue both: trajectories must be bit-identical.
+    cont_a, _ = chunk(state)
+    cont_b, _ = chunk(restored)
+    assert leaves_equal(cont_a.env_state.board, cont_b.env_state.board)
+    assert leaves_equal(cont_a.agent.params, cont_b.agent.params)
+    assert leaves_equal(cont_a.buffer.boards, cont_b.buffer.boards)
+    assert int(cont_a.episodes_done) == int(cont_b.episodes_done)
+    mgr.close()
+
+
+def test_train_with_manager_saves_and_resumes(tmp_path):
+    config = tiny_config()
+    mgr = CheckpointManager(str(tmp_path / "run"))
+    logs = train(config, total_episodes=25, ckpt_manager=mgr)
+    steps = mgr.all_steps()
+    assert steps, "no step checkpoints written"
+    mgr.wait()
+    final_eps = logs[-1]["episodes"]
+
+    # Resume in a fresh manager/session: picks up at the saved episode.
+    mgr2 = CheckpointManager(str(tmp_path / "run"))
+    logs2 = train(
+        config, total_episodes=final_eps + 15, ckpt_manager=mgr2, resume=True
+    )
+    # Continued from the saved episode count, not restarted from zero.
+    assert logs2[0]["episodes"] >= steps[-1]
+    assert logs2[0]["env_steps"] > 0
+    assert logs2[-1]["episodes"] >= final_eps + 15
+    mgr2.close()
+
+
+def test_rollback_restores_on_regression(tmp_path, monkeypatch):
+    config = tiny_config(rollback=True, rollback_block=5, rollback_drop=-1e9)
+    # rollback_drop very negative => every block "regresses" => restore
+    # whenever a block checkpoint exists.
+    mgr = CheckpointManager(str(tmp_path / "rb"))
+    logs = train(config, total_episodes=30, ckpt_manager=mgr)
+    assert mgr.has_named("block_checkpoint")
+    # With forced rollback the run still terminates (max 2 consecutive
+    # restores, mainDQL:292) and episodes reach the target.
+    assert logs[-1]["episodes"] >= 30
+    mgr.close()

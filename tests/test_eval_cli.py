@@ -1,0 +1,111 @@
+"""Eval harness, terminal demo, and CLI tests."""
+
+import io
+import json
+
+import jax
+import numpy as np
+
+from tpu2048.cli.main import main as cli_main
+from tpu2048.eval import evaluate, random_legal_policy
+from tpu2048.eval.demo import play, render_board
+from tpu2048.ops import values_to_exponents
+import jax.numpy as jnp
+
+
+def test_evaluate_random_policy():
+    res = evaluate(
+        random_legal_policy(),
+        num_games=64,
+        key=jax.random.PRNGKey(0),
+        batch_size=32,
+    )
+    s = res.summary()
+    assert s["games"] == 64
+    assert s["score_mean"] > 300  # random play always scores hundreds
+    assert s["best_tile"] >= 64
+    assert sum(s["max_tile_distribution"].values()) == 64
+    assert (res.lengths > 20).all()
+
+
+def test_demo_random_mode_runs_to_game_over():
+    out = io.StringIO()
+    stats = play(mode="random", delay=0.0, seed=1, out=out)
+    text = out.getvalue()
+    assert "GAME OVER" in text
+    assert stats["score"] > 0
+    assert stats["max_tile"] >= 16
+    assert stats["moves"] > 20
+
+
+def test_demo_manual_mode_scripted():
+    out = io.StringIO()
+    moves = iter(["a", "w", "d", "s", "x", "q"])  # x = ignored key
+    stats = play(mode="manual", seed=2, out=out, input_fn=lambda: next(moves))
+    assert stats["moves"] >= 3  # some of a/w/d/s applied
+
+
+def test_render_board_shows_values():
+    board = values_to_exponents(
+        jnp.asarray([[2, 0, 0, 0], [0, 64, 0, 0], [0, 0, 1024, 0], [0, 0, 0, 0]])
+    )
+    text = render_board(board, score=123, moves=7, last_action=2)
+    assert "1024" in text and "64" in text and "123" in text and "Right" in text
+
+
+def test_cli_tabular_smoke(tmp_path, capsys):
+    log = tmp_path / "tab.jsonl"
+    rc = cli_main(
+        [
+            "train",
+            "tabular",
+            "--episodes", "64",
+            "--batch", "32",
+            "--capacity-log2", "14",
+            "--steps-per-chunk", "32",
+            "--log", str(log),
+        ]
+    )
+    assert rc == 0
+    rows = [json.loads(x) for x in log.read_text().splitlines()]
+    assert rows and rows[-1]["episodes"] >= 64
+
+
+def test_cli_dqn_train_eval_plot(tmp_path):
+    log = tmp_path / "dqn.jsonl"
+    ckpt = tmp_path / "ckpt"
+    common = [
+        "--features", "8", "--hidden", "16", "--blocks", "1", "--no-bf16",
+        "--envs", "16", "--batch", "16", "--updates-per-step", "1",
+        "--memory-size", "1024", "--steps-per-chunk", "8",
+    ]
+    rc = cli_main(
+        ["train", "dqn", "--episodes", "15", "--log", str(log),
+         "--checkpoint-dir", str(ckpt)] + common
+    )
+    assert rc == 0
+    assert log.exists()
+
+    # Eval the trained model from its checkpoint.
+    import contextlib, io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(
+            ["eval", "--policy", "model", "--checkpoint-dir", str(ckpt),
+             "--games", "8", "--eval-batch", "8"] + common
+        )
+    assert rc == 0
+    summary = json.loads(buf.getvalue())
+    assert summary["games"] == 8
+
+    # Plot from the JSONL log.
+    out_png = tmp_path / "plot.png"
+    rc = cli_main(["plot", "--log", str(log), "--out", str(out_png)])
+    assert rc == 0
+    assert out_png.exists() and out_png.stat().st_size > 1000
+
+
+def test_cli_eval_model_requires_checkpoint(capsys):
+    rc = cli_main(["eval", "--policy", "model", "--games", "4"])
+    assert rc == 2

@@ -1,0 +1,286 @@
+"""Command-line interface.
+
+The reference README documents an intended CLI that was never built
+(`python train.py --episodes 10000 --alpha 0.1 --gamma 0.99
+--epsilon 0.95`, /root/reference/README.md:62-75) — every reference
+hyperparameter is actually a hardcoded literal and resume is a code edit
+(mainDQL_CNN_step2.py:124-126). This module delivers that UX, honoring the
+README's flag names:
+
+    python -m tpu2048 train tabular --episodes 10000 --alpha 0.1 ...
+    python -m tpu2048 train dqn --episodes 2000 --checkpoint-dir runs/a --resume
+    python -m tpu2048 eval --policy model --checkpoint-dir runs/a --games 1000
+    python -m tpu2048 demo --mode random
+    python -m tpu2048 plot --log runs/a/metrics.jsonl --out plots/run.png
+    python -m tpu2048 bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _add_tabular_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--episodes", type=int, default=200_000,
+                   help="total training episodes (reference: 200k games)")
+    p.add_argument("--alpha", type=float, default=0.1, help="learning rate")
+    p.add_argument("--gamma", type=float, default=0.9, help="discount factor")
+    p.add_argument("--epsilon", type=float, default=1.0,
+                   help="initial exploration rate")
+    p.add_argument("--epsilon-min", type=float, default=0.01)
+    p.add_argument("--batch", type=int, default=1024, help="parallel envs")
+    p.add_argument("--capacity-log2", type=int, default=24,
+                   help="Q-table slots = 2**N")
+    p.add_argument("--reward", choices=["shaped", "simple"], default="shaped")
+    p.add_argument("--steps-per-chunk", type=int, default=256)
+    p.add_argument("--log", type=str, default=None, help="JSONL metrics path")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def _add_dqn_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--episodes", type=int, default=2000)
+    p.add_argument("--alpha", type=float, default=5e-5,
+                   help="learning rate (Adam)")
+    p.add_argument("--gamma", type=float, default=0.99)
+    p.add_argument("--epsilon", type=float, default=0.9)
+    p.add_argument("--epsilon-min", type=float, default=0.001)
+    p.add_argument("--epsilon-decay", type=float, default=0.9999)
+    p.add_argument("--batch", type=int, default=64,
+                   help="learner batch size (reference: 64)")
+    p.add_argument("--envs", type=int, default=128, help="parallel envs")
+    p.add_argument("--updates-per-step", type=int, default=8)
+    p.add_argument("--memory-size", type=int, default=50_000)
+    p.add_argument("--per-alpha", type=float, default=0.0,
+                   help="priority exponent (0 = uniform, reference default)")
+    p.add_argument("--no-dedup", action="store_true",
+                   help="disable the 2-back transition dedup")
+    p.add_argument("--no-terminal-bonus", action="store_true")
+    p.add_argument("--features", type=int, default=2048)
+    p.add_argument("--hidden", type=int, default=1024)
+    p.add_argument("--blocks", type=int, default=3)
+    p.add_argument("--no-bf16", action="store_true")
+    p.add_argument("--steps-per-chunk", type=int, default=16)
+    p.add_argument("--replay-shards", type=int, default=1)
+    p.add_argument("--checkpoint-dir", type=str, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint")
+    p.add_argument("--rollback", action="store_true",
+                   help="enable the block rollback-on-regression policy")
+    p.add_argument("--log", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+
+
+def _tabular_config(args):
+    from tpu2048.agents.tabular import TabularConfig
+    from tpu2048.env import EnvConfig
+    from tpu2048.training.tabular import TabularTrainConfig
+
+    return TabularTrainConfig(
+        agent=TabularConfig(
+            learning_rate=args.alpha,
+            discount=args.gamma,
+            exploration_rate=args.epsilon,
+            exploration_min=args.epsilon_min,
+            total_epochs=max(args.episodes // args.batch, 1),
+            capacity_log2=args.capacity_log2,
+        ),
+        env=EnvConfig(reward=args.reward),
+        batch_size=args.batch,
+        total_episodes=args.episodes,
+        steps_per_chunk=args.steps_per_chunk,
+        seed=args.seed,
+    )
+
+
+def _dqn_config(args):
+    from tpu2048.agents.dqn import DQNConfig
+    from tpu2048.env import EnvConfig, SIMPLE
+    from tpu2048.training.dqn import DQNTrainConfig
+
+    return DQNTrainConfig(
+        agent=DQNConfig(
+            gamma=args.gamma,
+            epsilon=args.epsilon,
+            epsilon_min=args.epsilon_min,
+            epsilon_decay=args.epsilon_decay,
+            batch_size=args.batch,
+            memory_size=args.memory_size,
+            alpha=args.per_alpha,
+            learning_rate=args.alpha,
+            dedup=not args.no_dedup,
+            features=args.features,
+            hidden=args.hidden,
+            num_blocks=args.blocks,
+            bf16=not args.no_bf16,
+        ),
+        env=EnvConfig(
+            reward=SIMPLE, terminal_bonus=not args.no_terminal_bonus
+        ),
+        num_envs=args.envs,
+        updates_per_step=args.updates_per_step,
+        train_batch=args.batch,
+        steps_per_chunk=args.steps_per_chunk,
+        replay_shards=args.replay_shards,
+        rollback=args.rollback,
+        seed=args.seed,
+    )
+
+
+def cmd_train(args) -> int:
+    from tpu2048.metrics import JSONLLogger
+
+    logger = JSONLLogger(args.log)
+    try:
+        if args.algo == "tabular":
+            from tpu2048.training.tabular import train
+
+            train(_tabular_config(args), log_fn=logger.log)
+        else:
+            from tpu2048.training.dqn import train
+
+            mgr = None
+            if args.checkpoint_dir:
+                from tpu2048.checkpoint import CheckpointManager
+
+                mgr = CheckpointManager(args.checkpoint_dir)
+            train(
+                _dqn_config(args),
+                total_episodes=args.episodes,
+                log_fn=logger.log,
+                ckpt_manager=mgr,
+                resume=args.resume,
+            )
+            if mgr:
+                mgr.close()
+    finally:
+        logger.close()
+    return 0
+
+
+def cmd_eval(args) -> int:
+    import jax
+
+    from tpu2048.eval import evaluate, greedy_dqn_policy, random_legal_policy
+
+    if args.policy == "random":
+        policy = random_legal_policy()
+    elif args.policy == "model":
+        if not args.checkpoint_dir:
+            print("--checkpoint-dir required for --policy model", file=sys.stderr)
+            return 2
+        from tpu2048.checkpoint import CheckpointManager
+        from tpu2048.training.dqn import init_loop_state
+
+        cfg = _dqn_config(args)
+        model, template = init_loop_state(cfg)
+        mgr = CheckpointManager(args.checkpoint_dir)
+        step = args.step if args.step is not None else mgr.latest_step()
+        if step is None:
+            print("no checkpoint found", file=sys.stderr)
+            return 2
+        state = mgr.restore(step, template)
+        policy = greedy_dqn_policy(model, state.agent.params)
+    else:
+        print(f"unknown policy {args.policy}", file=sys.stderr)
+        return 2
+
+    result = evaluate(
+        policy,
+        num_games=args.games,
+        key=jax.random.PRNGKey(args.seed),
+        batch_size=args.eval_batch,
+    )
+    print(json.dumps(result.summary(), indent=2))
+    return 0
+
+
+def cmd_demo(args) -> int:
+    from tpu2048.eval.demo import play
+
+    policy = None
+    if args.mode == "model":
+        from tpu2048.checkpoint import CheckpointManager
+        from tpu2048.eval import greedy_dqn_policy
+        from tpu2048.training.dqn import init_loop_state
+
+        cfg = _dqn_config(args)
+        model, template = init_loop_state(cfg)
+        mgr = CheckpointManager(args.checkpoint_dir)
+        step = args.step if args.step is not None else mgr.latest_step()
+        state = mgr.restore(step, template)
+        policy = greedy_dqn_policy(model, state.agent.params)
+    stats = play(mode=args.mode, policy=policy, delay=args.delay,
+                 seed=args.seed)
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_plot(args) -> int:
+    from tpu2048.metrics import plot_from_jsonl
+
+    plot_from_jsonl(args.log, args.out)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench as _bench  # repo-root bench.py
+
+    _bench.main(batch=args.batch, steps=args.steps)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="train2048",
+        description="TPU-native 2048 RL framework (tpu2048)",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pt = sub.add_parser("train", help="train an agent")
+    st = pt.add_subparsers(dest="algo", required=True)
+    ptab = st.add_parser("tabular", help="tabular Q-learning (QLearningBase)")
+    _add_tabular_args(ptab)
+    ptab.set_defaults(fn=cmd_train)
+    pdqn = st.add_parser("dqn", help="DQN (Deep_QLearning)")
+    _add_dqn_args(pdqn)
+    pdqn.set_defaults(fn=cmd_train)
+
+    pe = sub.add_parser("eval", help="batched greedy/random evaluation")
+    _add_dqn_args(pe)
+    pe.add_argument("--policy", choices=["random", "model"], default="random")
+    pe.add_argument("--games", type=int, default=512)
+    pe.add_argument("--eval-batch", type=int, default=512)
+    pe.add_argument("--step", type=int, default=None)
+    pe.set_defaults(fn=cmd_eval)
+
+    pd = sub.add_parser("demo", help="terminal play: manual/random/model")
+    _add_dqn_args(pd)
+    pd.add_argument("--mode", choices=["manual", "random", "model"],
+                    default="manual")
+    pd.add_argument("--delay", type=float, default=0.5)
+    pd.add_argument("--step", type=int, default=None)
+    pd.set_defaults(fn=cmd_demo)
+
+    pp = sub.add_parser("plot", help="render training plots from JSONL logs")
+    pp.add_argument("--log", type=str, required=True)
+    pp.add_argument("--out", type=str, required=True)
+    pp.set_defaults(fn=cmd_plot)
+
+    pb = sub.add_parser("bench", help="env throughput benchmark")
+    pb.add_argument("--batch", type=int, default=65536)
+    pb.add_argument("--steps", type=int, default=256)
+    pb.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,161 @@
+"""Evaluation harness: batched deterministic rollouts.
+
+Re-design of the reference's model evaluation, which was interactive-only
+(GameDemo.py:288-316 ``model_play``: encode -> predict -> argmax over
+legal moves, plus random and manual modes). Here evaluation is a batched
+harness producing score / max-tile / episode-length distributions — the
+numbers the reference's paper reports (max-tile frequency, 2048.pdf §5.1).
+
+Policies are pure functions ``(boards, legal_mask, key) -> actions`` so
+greedy-DQN, random-legal, and tabular-greedy all share one rollout loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu2048.env import EnvConfig, env as envlib
+from tpu2048.ops import board as board_ops
+
+PolicyFn = Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
+
+
+def random_legal_policy() -> PolicyFn:
+    """Uniform over legal moves (GameDemo random mode, GameDemo.py:272-285)."""
+
+    def policy(boards, legal_mask, key):
+        logits = jnp.where(legal_mask, 0.0, -1e9)
+        return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+    return policy
+
+
+def greedy_dqn_policy(model, params) -> PolicyFn:
+    """Argmax of Q over legal moves (GameDemo.py:288-316)."""
+
+    def policy(boards, legal_mask, key):
+        q = model.apply({"params": params}, boards, train=False)
+        q_legal = jnp.where(legal_mask, q, -jnp.inf)
+        has_legal = jnp.any(legal_mask, axis=-1)
+        return jnp.where(
+            has_legal, jnp.argmax(q_legal, axis=-1), jnp.argmax(q, axis=-1)
+        ).astype(jnp.int32)
+
+    return policy
+
+
+def greedy_tabular_policy(table) -> PolicyFn:
+    """Argmax of the hashed Q-table, restricted to legal moves."""
+    from tpu2048.agents import tabular as tab
+
+    def policy(boards, legal_mask, key):
+        q = tab.qtable_lookup(table, boards)
+        q_legal = jnp.where(legal_mask, q, -jnp.inf)
+        has_legal = jnp.any(legal_mask, axis=-1)
+        return jnp.where(
+            has_legal, jnp.argmax(q_legal, axis=-1), jnp.argmax(q, axis=-1)
+        ).astype(jnp.int32)
+
+    return policy
+
+
+@dataclasses.dataclass
+class EvalResult:
+    scores: np.ndarray  # (N,) final episode merge scores
+    max_tiles: np.ndarray  # (N,) final max tile values
+    lengths: np.ndarray  # (N,) episode lengths
+
+    @property
+    def tile_distribution(self) -> Dict[int, int]:
+        vals, counts = np.unique(self.max_tiles, return_counts=True)
+        return {int(v): int(c) for v, c in zip(vals, counts)}
+
+    def summary(self) -> dict:
+        return {
+            "games": int(len(self.scores)),
+            "score_mean": float(self.scores.mean()),
+            "score_std": float(self.scores.std()),
+            "score_max": int(self.scores.max()),
+            "length_mean": float(self.lengths.mean()),
+            "max_tile_distribution": self.tile_distribution,
+            "best_tile": int(self.max_tiles.max()),
+            "win_rate_2048": float((self.max_tiles >= 2048).mean()),
+        }
+
+
+def evaluate(
+    policy: PolicyFn,
+    num_games: int,
+    key,
+    env_config: EnvConfig = EnvConfig(reward="simple", auto_reset=False),
+    batch_size: int = 512,
+    max_steps: int = 4000,
+) -> EvalResult:
+    """Play ``num_games`` full games under ``policy``; collect stats."""
+    env_config = dataclasses.replace(env_config, auto_reset=False)
+    scores: List[np.ndarray] = []
+    tiles: List[np.ndarray] = []
+    lengths: List[np.ndarray] = []
+
+    # One fused jitted call per CHUNK of steps: mask -> policy -> env step,
+    # scanned on device. Eager per-step dispatch would dominate wall time
+    # (especially through a remote TPU tunnel).
+    steps_per_call = 32
+
+    def chunk(state, carry, key):
+        def body(c, k):
+            state, done, fs, ft, fl = c
+            legal = board_ops.legal_moves_mask(state.board)
+            actions = policy(state.board, legal, k)
+            state, ts = envlib.step(env_config, state, actions)
+            newly = ts.done & ~done
+            fs = jnp.where(newly, state.score, fs)
+            ft = jnp.where(newly, ts.max_number, ft)
+            fl = jnp.where(newly, ts.episode_steps, fl)
+            return (state, done | ts.done, fs, ft, fl), None
+
+        keys = jax.random.split(key, steps_per_call)
+        (state, done, fs, ft, fl), _ = jax.lax.scan(
+            body, (state, *carry), keys
+        )
+        return state, (done, fs, ft, fl)
+
+    chunk = jax.jit(chunk)
+
+    remaining = num_games
+    while remaining > 0:
+        b = min(batch_size, remaining)
+        key, k_reset = jax.random.split(key)
+        state = envlib.reset(env_config, k_reset, b)
+        done = jnp.zeros((b,), bool)
+        final_score = jnp.zeros((b,), jnp.int32)
+        final_tile = jnp.zeros((b,), jnp.int32)
+        final_len = jnp.zeros((b,), jnp.int32)
+        for _ in range(max_steps // steps_per_call + 1):
+            key, k = jax.random.split(key)
+            state, (done, final_score, final_tile, final_len) = chunk(
+                state, (done, final_score, final_tile, final_len), k
+            )
+            if bool(done.all()):
+                break
+        # Any game hitting max_steps records its current standing.
+        final_score = jnp.where(done, final_score, state.score)
+        final_tile = jnp.where(
+            done, final_tile, board_ops.max_tile_value(state.board)
+        )
+        final_len = jnp.where(done, final_len, state.episode_steps)
+        scores.append(np.asarray(final_score))
+        tiles.append(np.asarray(final_tile))
+        lengths.append(np.asarray(final_len))
+        remaining -= b
+
+    return EvalResult(
+        scores=np.concatenate(scores),
+        max_tiles=np.concatenate(tiles),
+        lengths=np.concatenate(lengths),
+    )

@@ -159,22 +159,15 @@ def dqn_loop_sharding(state, mesh: Mesh, model_parallel: int = 1):
         train_steps=ns(P()),
         rng=ns(P()),
     )
-    return state.replace(
+    # Default: replicate every leaf (covers scalar counters and metric
+    # accumulators, including ones added later); then override the batched
+    # and parameter parts.
+    base = jax.tree.map(lambda x: ns(P()), state)
+    return base.replace(
         env_state=shard_batched(state.env_state),
         dedup=shard_batched(state.dedup),
         buffer=shard_batched(state.buffer),
         agent=agent_sh,
-        rng=ns(P()),
-        episodes_done=ns(P()),
-        env_steps=ns(P()),
-        sum_return=ns(P()),
-        sum_score=ns(P()),
-        sum_length=ns(P()),
-        best_tile=ns(P()),
-        tile_hist=ns(P()),
-        loss_sum=ns(P()),
-        loss_count=ns(P()),
-        last_loss=ns(P()),
     )
 
 

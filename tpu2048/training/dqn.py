@@ -56,6 +56,12 @@ class DQNTrainConfig:
     prune_n: int = 10  # mainDQL:320
     checkpoint_episodes: int = 100  # mainDQL:324
     epsilon_step_per_env: bool = True  # advance eps counter by B per step
+    # Rollback-on-regression policy (the reference's commented block,
+    # mainDQL:278-314; the paper confirms it was used).
+    rollback: bool = False
+    rollback_block: int = 20  # BLOCK_SIZE, mainDQL:109
+    rollback_drop: float = 50.0  # avg max-tile drop triggering restore
+    rollback_max_consecutive: int = 2  # mainDQL:292
     seed: int = 0
 
 
@@ -75,6 +81,7 @@ class DQNLoopState:
     sum_score: jax.Array  # () f32
     sum_length: jax.Array  # () f32
     best_tile: jax.Array  # () int32
+    sum_final_tile: jax.Array  # () f32 — sum of episode-final max tiles
     tile_hist: jax.Array  # (17,) int32 — final max-tile exponent histogram
     loss_sum: jax.Array  # () f32
     loss_count: jax.Array  # () int32
@@ -99,6 +106,7 @@ def init_loop_state(config: DQNTrainConfig):
         sum_score=jnp.zeros((), jnp.float32),
         sum_length=jnp.zeros((), jnp.float32),
         best_tile=jnp.zeros((), jnp.int32),
+        sum_final_tile=jnp.zeros((), jnp.float32),
         tile_hist=jnp.zeros((17,), jnp.int32),
         loss_sum=jnp.zeros((), jnp.float32),
         loss_count=jnp.zeros((), jnp.int32),
@@ -206,6 +214,8 @@ def train_chunk(config: DQNTrainConfig, model, tx, state: DQNLoopState):
             sum_score=st.sum_score + jnp.sum(ep_score * done_f),
             sum_length=st.sum_length + jnp.sum(ts.episode_steps * done_f),
             best_tile=jnp.maximum(st.best_tile, jnp.max(ts.max_number)),
+            sum_final_tile=st.sum_final_tile
+            + jnp.sum(ts.max_number.astype(jnp.float32) * done_f),
             tile_hist=st.tile_hist + hist_inc,
             loss_sum=st.loss_sum + mean_loss * n_upd,
             loss_count=st.loss_count + n_upd,
@@ -227,16 +237,33 @@ def train(
     milestone_fn: Optional[Callable[[DQNLoopState, int, int], None]] = None,
     state: Optional[DQNLoopState] = None,
     model=None,
+    ckpt_manager=None,
+    resume: bool = False,
 ) -> List[dict]:
     """Host loop with the reference's periodic-op cadence.
 
     ``checkpoint_fn(state, episode)`` fires every ``checkpoint_episodes``
     (mainDQL:323-330); ``milestone_fn(state, episode, tile)`` fires when a
     new best tile >= 1024 appears (mainDQL:254-262).
+
+    With ``ckpt_manager`` (a :class:`tpu2048.checkpoint.CheckpointManager`)
+    the loop additionally: restores the latest step when ``resume`` (the
+    reference's resume path, mainDQL:124-139), saves the full loop state
+    every ``checkpoint_episodes``, saves milestone checkpoints at new
+    >=1024 best tiles (mainDQL:254-262), and — when ``config.rollback`` —
+    runs the block rollback policy (mainDQL:278-314): every
+    ``rollback_block`` episodes compare the block's average final max tile
+    with the previous block's; on a drop > ``rollback_drop`` restore the
+    last block checkpoint (at most ``rollback_max_consecutive`` times in a
+    row), else save a new block checkpoint.
     """
     tx = dqnlib.make_optimizer(config.agent)
     if state is None or model is None:
         model, state = init_loop_state(config)
+    if ckpt_manager is not None and resume:
+        latest = ckpt_manager.latest_step()
+        if latest is not None:
+            state = ckpt_manager.restore(latest, state)
     chunk = jax.jit(
         lambda s: train_chunk(config, model, tx, s), donate_argnums=0
     )
@@ -248,9 +275,20 @@ def train(
     sync = jax.jit(dqnlib.update_target, donate_argnums=0)
 
     logs: List[dict] = []
-    prev = dict(ep=0, ret=0.0, score=0.0, length=0.0, loss=0.0, nloss=0,
-                t=time.time(), best=0)
-    last_sync = last_prune = last_ckpt = 0
+    start_ep = int(state.episodes_done)
+    prev = dict(ep=start_ep, ret=float(state.sum_return),
+                score=float(state.sum_score), length=float(state.sum_length),
+                loss=float(state.loss_sum), nloss=int(state.loss_count),
+                t=time.time(), best=int(state.best_tile))
+    last_sync = last_prune = last_ckpt = start_ep
+    # Rollback bookkeeping (host-side, mainDQL:108-114).
+    block = dict(
+        idx=start_ep // max(config.rollback_block, 1),
+        ep=start_ep,
+        tiles=float(state.sum_final_tile),
+        prev_avg=None,
+        restored=0,
+    )
     while int(state.episodes_done) < total_episodes:
         state, eps = chunk(state)
         ep = int(state.episodes_done)
@@ -263,16 +301,44 @@ def train(
                 state = state.replace(buffer=prune(state.buffer))
             last_prune = ep
         best = int(state.best_tile)
-        if milestone_fn and best >= 1024 and best > prev["best"]:
-            milestone_fn(state, ep, best)
+        if best >= 1024 and best > prev["best"]:
+            if milestone_fn:
+                milestone_fn(state, ep, best)
+            if ckpt_manager is not None:
+                ckpt_manager.save_named(f"tile_{best}_ep{ep}", state)
         prev["best"] = max(prev["best"], best)
-        if (
-            checkpoint_fn
-            and ep // config.checkpoint_episodes
-            > last_ckpt // config.checkpoint_episodes
-        ):
-            checkpoint_fn(state, ep)
+        if ep // config.checkpoint_episodes > last_ckpt // config.checkpoint_episodes:
+            if checkpoint_fn:
+                checkpoint_fn(state, ep)
+            if ckpt_manager is not None:
+                ckpt_manager.save(ep, state)
             last_ckpt = ep
+
+        # Rollback-on-regression (mainDQL:278-314).
+        if (
+            config.rollback
+            and ckpt_manager is not None
+            and ep // config.rollback_block > block["idx"]
+        ):
+            block["idx"] = ep // config.rollback_block
+            d_ep_blk = max(ep - block["ep"], 1)
+            avg = (float(state.sum_final_tile) - block["tiles"]) / d_ep_blk
+            if (
+                block["prev_avg"] is not None
+                and (block["prev_avg"] - avg) > config.rollback_drop
+                and block["restored"] < config.rollback_max_consecutive
+                and ckpt_manager.has_named("block_checkpoint")
+            ):
+                state = ckpt_manager.restore_named("block_checkpoint", state)
+                block["restored"] += 1
+                ep = int(state.episodes_done)
+                # prev_avg intentionally kept (mainDQL:299).
+            else:
+                ckpt_manager.save_named("block_checkpoint", state)
+                block["prev_avg"] = avg
+                block["restored"] = 0
+            block["ep"] = int(state.episodes_done)
+            block["tiles"] = float(state.sum_final_tile)
 
         now = time.time()
         d_ep = max(ep - prev["ep"], 1)
@@ -307,4 +373,7 @@ def train(
         logs.append(row)
         if log_fn:
             log_fn(row)
+    if ckpt_manager is not None and int(state.episodes_done) != last_ckpt:
+        # Final save so short runs are resumable/evaluable.
+        ckpt_manager.save(int(state.episodes_done), state, wait=True)
     return logs
