@@ -1,7 +1,8 @@
 """Headline benchmark: batched 2048 env throughput on one chip.
 
-Prints ONE JSON line: env-steps/s for the full production step (legal-move
-masking, random-legal policy, slide/merge/spawn/reward/done, auto-reset)
+Prints ONE JSON line: env-steps/s for the full production step — the fused
+Pallas kernel (tpu2048/ops/pallas_step.py) doing merge/legality/in-kernel
+random-legal policy/spawn/game-over/auto-reset, plus the reward lane ops,
 under ``jit`` + ``lax.scan``.
 
 ``vs_baseline``: the north-star target is 50M env-steps/s on a v5e-8
@@ -9,36 +10,34 @@ under ``jit`` + ``lax.scan``.
 measured per-chip rate over that per-chip target (1.0 = on target).
 """
 
+import functools
 import json
 import time
 
 import jax
 import jax.numpy as jnp
 
-from tpu2048.env import EnvConfig, SIMPLE
-from tpu2048.env import env as envlib
+from tpu2048.env.fast import FastEnvConfig, fast_reset, fast_step
 
 PER_CHIP_TARGET = 50e6 / 8  # BASELINE.json north star, per chip
 
 
-def main(batch: int = 65536, steps: int = 256, warmup: int = 16) -> None:
-    config = EnvConfig(reward=SIMPLE, terminal_bonus=True, auto_reset=True)
-    state = envlib.reset(config, jax.random.PRNGKey(0), batch)
+def main(batch: int = 131072, steps: int = 1024, warmup: int = 32) -> None:
+    config = FastEnvConfig(terminal_bonus=True)
+    state = fast_reset(config, jax.random.PRNGKey(0), batch)
 
-    def rollout(state, key, n):
-        def body(st, k):
-            action = jax.random.randint(k, (batch,), 0, 4)
-            st, ts = envlib.step(config, st, action)
-            return st, ts.reward.sum()
+    @functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
+    def rollout(state, n):
+        def body(st, _):
+            st, ts = fast_step(config, st)
+            return st, (ts.reward.sum(), ts.done.sum())
 
-        keys = jax.random.split(key, n)
-        return jax.lax.scan(body, state, keys)
+        return jax.lax.scan(body, state, None, length=n)
 
-    run = jax.jit(rollout, static_argnums=2, donate_argnums=0)
-    state, _ = run(state, jax.random.PRNGKey(1), warmup)
-    jax.block_until_ready(state.board)
+    state, _ = rollout(state, warmup)
+    jax.block_until_ready(state.boards)
     t0 = time.perf_counter()
-    state, rewards = run(state, jax.random.PRNGKey(2), steps)
+    state, (rewards, dones) = rollout(state, steps)
     jax.block_until_ready(rewards)
     dt = time.perf_counter() - t0
 

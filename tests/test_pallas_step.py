@@ -1,0 +1,169 @@
+"""Fused Pallas env-step kernel tests (interpret mode on CPU).
+
+Differential-tests the kernel against the pure-lax engine
+(tpu2048.ops.board) on random boards and actions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu2048.env.fast import (
+    FastEnvConfig,
+    fast_reset,
+    fast_step,
+)
+from tpu2048.ops import board as board_ops
+from tpu2048.ops.pallas_step import (
+    from_cell_major,
+    fused_env_step,
+    to_cell_major,
+)
+
+B = 256
+BLK = 64
+
+
+def random_boards(key, b=B):
+    boards = jax.random.randint(key, (b, 4, 4), 0, 6, dtype=jnp.int32)
+    mask = jax.random.uniform(jax.random.PRNGKey(7), (b, 4, 4)) < 0.35
+    return jnp.where(mask, 0, boards).astype(jnp.int8)
+
+
+def run_kernel(boards, actions, seed=0, **kw):
+    b = boards.shape[0]
+    bits = jax.random.bits(jax.random.PRNGKey(seed + 1000), (8, b), jnp.uint32)
+    return fused_env_step(
+        to_cell_major(boards),
+        actions,
+        seed,
+        bits,
+        block_size=BLK,
+        interpret=True,
+        **kw,
+    )
+
+
+def test_cell_major_roundtrip():
+    boards = random_boards(jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(
+        np.asarray(from_cell_major(to_cell_major(boards))), np.asarray(boards)
+    )
+
+
+def test_kernel_matches_lax_engine():
+    boards = random_boards(jax.random.PRNGKey(1))
+    actions = jax.random.randint(jax.random.PRNGKey(2), (B,), 0, 4)
+    new_cm, score, valid, done, max_exp, second_exp, pre_reset = run_kernel(
+        boards, actions, emit_pre_reset=True
+    )
+    # Oracle: lax engine.
+    cand_b, cand_s, cand_m = board_ops.move_all(boards)
+    ref_b, ref_s, ref_m = board_ops.select_move(cand_b, cand_s, cand_m, actions)
+
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref_m))
+    np.testing.assert_array_equal(np.asarray(score), np.asarray(ref_s))
+
+    pre = np.asarray(from_cell_major(pre_reset))
+    merged = np.asarray(ref_b)
+    orig = np.asarray(boards)
+    for i in range(B):
+        if not bool(ref_m[i]):
+            # Invalid move: board unchanged, no spawn.
+            np.testing.assert_array_equal(pre[i], orig[i])
+            continue
+        diff = pre[i].astype(int) - merged[i].astype(int)
+        nz = np.argwhere(diff != 0)
+        assert len(nz) == 1, f"board {i}: expected 1 spawn, got {nz}"
+        r, c = nz[0]
+        assert merged[i][r, c] == 0  # spawned on an empty cell
+        assert pre[i][r, c] in (1, 2)  # a 2 or a 4
+
+    # done == no legal moves on the pre-reset board.
+    for i in range(B):
+        expect_done = bool(board_ops.is_game_over(jnp.asarray(pre[i])))
+        assert bool(done[i]) == expect_done, i
+
+    # Terminal stats from the pre-reset board.
+    me = np.asarray(max_exp)
+    se = np.asarray(second_exp)
+    for i in range(B):
+        flat = np.sort(pre[i].reshape(-1))[::-1]
+        assert me[i] == flat[0]
+        assert se[i] == flat[1]
+
+    # Auto-reset: done lanes hold a fresh 2-tile board; others match pre.
+    post = np.asarray(from_cell_major(new_cm))
+    for i in range(B):
+        if bool(done[i]):
+            assert (post[i] != 0).sum() == 2
+            assert set(np.unique(post[i])) <= {0, 1, 2}
+        else:
+            np.testing.assert_array_equal(post[i], pre[i])
+
+
+def test_kernel_random_policy_picks_legal():
+    boards = random_boards(jax.random.PRNGKey(3))
+    actions = jnp.full((B,), -1, jnp.int32)
+    # Kernel chooses the action internally; infer it from the result by
+    # comparing with all four candidates.
+    new_cm, score, valid, done, _, _, pre = run_kernel(
+        boards, actions, seed=5, emit_pre_reset=True
+    )
+    cand_b, cand_s, cand_m = board_ops.move_all(boards)
+    legal_any = np.asarray(jnp.any(cand_m, axis=0))
+    pre_np = np.asarray(from_cell_major(pre))
+    cand_np = np.asarray(cand_b)
+    for i in range(B):
+        if legal_any[i]:
+            assert bool(valid[i]), f"board {i} had legal moves but none taken"
+            # The merged board (pre minus the spawned tile) matches some
+            # legal candidate.
+            matches = 0
+            for a in range(4):
+                if not bool(cand_m[a, i]):
+                    continue
+                diff = pre_np[i].astype(int) - cand_np[a, i].astype(int)
+                nz = np.argwhere(diff != 0)
+                if len(nz) == 1 and cand_np[a, i][tuple(nz[0])] == 0:
+                    matches += 1
+            assert matches >= 1, i
+
+
+def test_kernel_spawn_distribution():
+    # Board of two exp-2 tiles ("4"s): left-merge makes one exp-3 tile, so
+    # every exp-1/exp-2 cell afterwards is the spawn. P(exp 1) must be ~0.9.
+    board = jnp.asarray(
+        [[2, 2, 0, 0] + [0] * 12], jnp.int8
+    ).reshape(1, 4, 4)
+    boards = jnp.tile(board, (B, 1, 1))
+    actions = jnp.zeros((B,), jnp.int32)
+    twos = fours = 0
+    for seed in range(6):
+        _, _, _, _, _, _, pre = run_kernel(
+            boards, actions, seed=seed, emit_pre_reset=True
+        )
+        vals = np.asarray(from_cell_major(pre)).reshape(B, 16)
+        twos += int((vals == 1).sum())
+        fours += int((vals == 2).sum())
+    assert twos + fours == 6 * B  # exactly one spawn per board
+    frac = twos / (twos + fours)
+    assert 0.85 < frac < 0.95, (twos, fours)
+
+
+def test_fast_env_rollout_interpret():
+    config = FastEnvConfig(
+        terminal_bonus=True, block_size=BLK, interpret=True, external_rng=True
+    )
+    state = fast_reset(config, jax.random.PRNGKey(0), B)
+    total_done = 0
+    for _ in range(60):
+        state, ts = fast_step(config, state)
+        total_done += int(np.asarray(ts.done).sum())
+        assert np.isfinite(np.asarray(ts.reward)).all()
+    # Random play on 256 envs for 60 steps: some episodes finish.
+    assert total_done > 0
+    assert (np.asarray(state.episode_steps) <= 60).all()
+    # Scores accumulate and reset with episodes.
+    assert int(np.asarray(state.score).sum()) > 0

@@ -1,0 +1,350 @@
+"""Fused Pallas TPU kernel: one entire 2048 env step per kernel launch.
+
+The hot op of the framework. The pure-lax engine (tpu2048.ops.board) emits
+hundreds of small XLA ops per env step; this kernel fuses the FULL step —
+all four direction merges, legality, (optional random-legal) action
+selection, merge-score, tile spawn, game-over check, and auto-reset — into
+a single Mosaic kernel using the on-core PRNG, lifting single-chip
+throughput from ~2.6M to >100M env-steps/s (see bench.py).
+
+Layout: boards are **cell-major** ``(16, B) int8`` — cell ``r*4+c`` is row
+``r*4+c`` — so every element-wise op runs across the batch in the lane
+dimension. The four row-merges of all four directions are stacked into one
+``(16, BLK)`` computation (16 = 4 directions x 4 rows) to fill sublanes.
+
+Mosaic constraints honored (learned the hard way):
+* all in-kernel tensors are >= 2-D (``(1, BLK)`` rows);
+* no ``select`` on bool *values* (moved-masks travel as int32);
+* compute in int32 (int8 only at the HBM boundary);
+* ``BLK`` kept at 1024 — larger blocks spill vector registers and run
+  ~10x slower.
+
+Semantics match the "fixed" simple env (tpu2048/env/env.py, reward=SIMPLE,
+quirk_compat=False): game-over is evaluated on the post-move post-spawn
+board; invalid moves leave the board unchanged and spawn nothing. Spawn
+distribution is uniform-over-empties with P(2)=0.9 (Game2048_env.py:16-20);
+position/value draws use the per-core PRNG (modulo bias <= 16/2^31,
+negligible). RNG streams therefore differ from the jax.random path — the
+trajectory-parity harness keeps using the lax env with explicit spawns.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK = 1024
+
+# Row index tables per direction (0=left, 1=up, 2=right, 3=down —
+# Game2048_env.py:54), cells listed from the wall the row slides toward.
+ROWS = {
+    0: [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11], [12, 13, 14, 15]],
+    1: [[0, 4, 8, 12], [1, 5, 9, 13], [2, 6, 10, 14], [3, 7, 11, 15]],
+    2: [[3, 2, 1, 0], [7, 6, 5, 4], [11, 10, 9, 8], [15, 14, 13, 12]],
+    3: [[12, 8, 4, 0], [13, 9, 5, 1], [14, 10, 6, 2], [15, 11, 7, 3]],
+}
+# Stacked tables: stack row s = 4*dir + row; LANE[k][s] = board cell of
+# lane-position k.
+LANE = [[ROWS[d][r][k] for d in range(4) for r in range(4)] for k in range(4)]
+# Reassembly: (dir, board cell) -> (stack row, lane position).
+REASM = {}
+for _d in range(4):
+    for _r in range(4):
+        for _k, _j in enumerate(ROWS[_d][_r]):
+            REASM[(_d, _j)] = (4 * _d + _r, _k)
+
+
+def _compact(c):
+    """Stable zeros-right compaction over 4 lane arrays (sorting network)."""
+    c = list(c)
+    for i, j in ((0, 1), (1, 2), (2, 3), (0, 1), (1, 2), (0, 1)):
+        a, b = c[i], c[j]
+        swap = (a == 0) & (b != 0)
+        c[i] = jnp.where(swap, b, a)
+        c[j] = jnp.where(swap, a, b)
+    return c
+
+
+def _merge_all(cells):
+    """All 16 (direction, row) merges at once.
+
+    Args:
+      cells: 16 arrays of (1, blk) int32 exponents.
+
+    Returns:
+      ``ys``: 4 lane arrays of (16, blk) — merged rows, stacked;
+      ``score_d``: 4 arrays (1, blk) int32 — per-direction merge score;
+      ``moved_d``: 4 arrays (1, blk) int32 — per-direction validity (0/1).
+    """
+    stack = [
+        jnp.concatenate([cells[i] for i in LANE[k]], axis=0) for k in range(4)
+    ]
+    x0, x1, x2, x3 = _compact(stack)
+    m01 = (x0 == x1) & (x0 > 0)
+    m12 = (x1 == x2) & (x1 > 0) & ~m01
+    m23 = (x2 == x3) & (x2 > 0) & ~m12
+    one = jnp.int32(1)
+    zero = jnp.int32(0)
+    y0 = x0 + jnp.where(m01, one, zero)
+    y1 = jnp.where(m01, zero, x1 + jnp.where(m12, one, zero))
+    y2 = jnp.where(m12, zero, x2 + jnp.where(m23, one, zero))
+    y3 = jnp.where(m23, zero, x3)
+    ys = _compact((y0, y1, y2, y3))
+    sc = (
+        jnp.where(m01, jnp.left_shift(one, x0 + 1), zero)
+        + jnp.where(m12, jnp.left_shift(one, x1 + 1), zero)
+        + jnp.where(m23, jnp.left_shift(one, x2 + 1), zero)
+    )
+    mv = (
+        (ys[0] != stack[0])
+        | (ys[1] != stack[1])
+        | (ys[2] != stack[2])
+        | (ys[3] != stack[3])
+    ).astype(jnp.int32)
+    score_d = [
+        sc[4 * d : 4 * d + 1]
+        + sc[4 * d + 1 : 4 * d + 2]
+        + sc[4 * d + 2 : 4 * d + 3]
+        + sc[4 * d + 3 : 4 * d + 4]
+        for d in range(4)
+    ]
+    moved_d = [
+        mv[4 * d : 4 * d + 1]
+        | mv[4 * d + 1 : 4 * d + 2]
+        | mv[4 * d + 2 : 4 * d + 3]
+        | mv[4 * d + 3 : 4 * d + 4]
+        for d in range(4)
+    ]
+    return ys, score_d, moved_d
+
+
+def _uniform_mod(bits, n):
+    """bits (1, blk) uint32 -> int32 in [0, n) (tiny modulo bias)."""
+    return (bits >> jnp.uint32(1)).astype(jnp.int32) % jnp.maximum(n, 1)
+
+
+def _tile_value(bits):
+    """Exponent 1 ("2") with p=0.9 else 2 ("4") (Game2048_env.py:20)."""
+    return jnp.where(
+        (bits % jnp.uint32(10)) < jnp.uint32(9), jnp.int32(1), jnp.int32(2)
+    )
+
+
+def _step_kernel(
+    emit_pre_reset: bool,
+    use_prng: bool,
+    seed_ref,
+    boards_ref,
+    actions_ref,
+    *refs,
+):
+    if use_prng:
+        bits_ref = None
+        (out_ref, score_ref, valid_ref, done_ref, max_exp_ref,
+         second_exp_ref, *rest) = refs
+    else:
+        bits_ref = refs[0]
+        (out_ref, score_ref, valid_ref, done_ref, max_exp_ref,
+         second_exp_ref, *rest) = refs[1:]
+    blk = boards_ref.shape[1]
+    if use_prng:
+        # Hash-seed from (step seed, block id) so block streams stay
+        # distinct across steps (seed+id addition would alias steps).
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        rand = lambda k: pltpu.prng_random_bits((1, blk))  # noqa: E731
+    else:
+        # Test/debug path: 8 externally-supplied uint32 streams per lane.
+        rand = lambda k: bits_ref[k : k + 1, :]  # noqa: E731
+    cells = [boards_ref[i : i + 1, :].astype(jnp.int32) for i in range(16)]
+    action = actions_ref[0:1, :]
+
+    ys, score_d, moved_d = _merge_all(cells)
+    legal = [m != 0 for m in moved_d]
+    n_legal = moved_d[0] + moved_d[1] + moved_d[2] + moved_d[3]
+
+    # Random-legal action for lanes with action < 0 (bench / random policy).
+    pick = _uniform_mod(rand(0), n_legal)
+    csum = jnp.zeros_like(pick)
+    rand_act = jnp.zeros_like(pick)
+    for a in range(4):
+        hit = legal[a] & (csum == pick)
+        rand_act = rand_act + jnp.where(hit, jnp.int32(a), jnp.int32(0))
+        csum = csum + moved_d[a]
+    action = jnp.where(action < 0, rand_act, action)
+
+    oh = [action == a for a in range(4)]
+    sel = []
+    for j in range(16):
+        v = None
+        for d in range(4):
+            s, k = REASM[(d, j)]
+            vj = ys[k][s : s + 1]
+            v = vj if v is None else jnp.where(oh[d], vj, v)
+        sel.append(v)
+    score = jnp.zeros_like(score_d[0])
+    moved_i = jnp.zeros_like(moved_d[0])
+    for d in range(4):
+        score = jnp.where(oh[d], score_d[d], score)
+        moved_i = jnp.where(oh[d], moved_d[d], moved_i)
+    moved = moved_i != 0
+
+    # Spawn a tile on a uniformly-random empty cell of the merged board.
+    empty = [(c == 0) for c in sel]
+    n_empty = sum(e.astype(jnp.int32) for e in empty)
+    idx = _uniform_mod(rand(2), n_empty)
+    val = _tile_value(rand(3))
+    csum = jnp.zeros_like(idx)
+    spawned = []
+    for c, e in zip(sel, empty):
+        hit = e & (csum == idx) & moved
+        spawned.append(jnp.where(hit, val, c))
+        csum = csum + e.astype(jnp.int32)
+
+    # Invalid move: board unchanged (fixed v2 semantics).
+    new_cells = [jnp.where(moved, s, c) for s, c in zip(spawned, cells)]
+
+    # Game over on the post-move post-spawn board.
+    _, _, moved2_d = _merge_all(new_cells)
+    any_legal = (moved2_d[0] | moved2_d[1] | moved2_d[2] | moved2_d[3]) != 0
+    done = ~any_legal
+
+    # Terminal stats (pre-reset): max and second-max exponents — feeds
+    # max_number and the driver's terminal bonus (mainDQL:202-213).
+    mx = new_cells[0]
+    for c in new_cells[1:]:
+        mx = jnp.maximum(mx, c)
+    second = jnp.zeros_like(mx)
+    taken = jnp.zeros_like(mx)  # 1 once the single max slot was skipped
+    for c in new_cells:
+        is_first_max = (c == mx) & (taken == 0)
+        taken = taken + jnp.where(is_first_max, jnp.int32(1), jnp.int32(0))
+        second = jnp.where(is_first_max, second, jnp.maximum(second, c))
+
+    # Auto-reset: finished boards become fresh games with two random tiles.
+    p1 = _uniform_mod(rand(4), jnp.full_like(mx, 16))
+    p2r = _uniform_mod(rand(5), jnp.full_like(mx, 15))
+    p2 = jnp.where(p2r >= p1, p2r + 1, p2r)
+    v1 = _tile_value(rand(6))
+    v2 = _tile_value(rand(7))
+    for i in range(16):
+        fresh = jnp.where(p1 == i, v1, jnp.where(p2 == i, v2, jnp.int32(0)))
+        final = jnp.where(done, fresh, new_cells[i])
+        out_ref[i : i + 1, :] = final.astype(jnp.int8)
+        if emit_pre_reset:
+            rest[0][i : i + 1, :] = new_cells[i].astype(jnp.int8)
+
+    score_ref[0:1, :] = score
+    valid_ref[0:1, :] = moved.astype(jnp.int8)
+    done_ref[0:1, :] = done.astype(jnp.int8)
+    max_exp_ref[0:1, :] = mx.astype(jnp.int8)
+    second_exp_ref[0:1, :] = second.astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "emit_pre_reset", "interpret"),
+)
+def fused_env_step(
+    boards,
+    actions,
+    seed,
+    rng_bits=None,
+    *,
+    block_size: int = DEFAULT_BLOCK,
+    emit_pre_reset: bool = False,
+    interpret: bool = False,
+):
+    """One fused env step for the whole batch.
+
+    Args:
+      boards: ``(16, B)`` int8 cell-major exponent boards.
+      actions: ``(B,)`` int32; a value < 0 means "choose a uniformly-random
+        legal action in-kernel" (the bench / random-policy mode).
+      seed: scalar int32 — vary per step (e.g. a step counter).
+      block_size: lane block; 1024 is the tuned value (bigger spills).
+      rng_bits: optional ``(8, B)`` uint32 — externally-supplied random
+        streams (rows: action-pick, unused, spawn-pos, spawn-val, reset-p1,
+        reset-p2, reset-v1, reset-v2). When None (production), the on-core
+        TPU PRNG generates them; pass explicit bits for CPU interpret-mode
+        tests or deterministic replay.
+      emit_pre_reset: also return the post-step board BEFORE auto-reset
+        (needed to store terminal transitions in replay).
+
+    Returns:
+      ``(new_boards, score, valid, done, max_exp, second_exp[, pre_reset])``
+      with shapes ``(16, B)`` int8, ``(B,)`` int32, ``(B,)`` bool, ``(B,)``
+      bool, ``(B,)`` int8, ``(B,)`` int8 [, ``(16, B)`` int8].
+    """
+    b = boards.shape[1]
+    if b % block_size:
+        raise ValueError(f"batch {b} not divisible by block {block_size}")
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    actions2 = actions.reshape(1, b).astype(jnp.int32)
+
+    row = lambda i: (0, i)  # noqa: E731
+    board_spec = pl.BlockSpec((16, block_size), row, memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec((1, block_size), row, memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((16, b), jnp.int8),
+        jax.ShapeDtypeStruct((1, b), jnp.int32),
+        jax.ShapeDtypeStruct((1, b), jnp.int8),
+        jax.ShapeDtypeStruct((1, b), jnp.int8),
+        jax.ShapeDtypeStruct((1, b), jnp.int8),
+        jax.ShapeDtypeStruct((1, b), jnp.int8),
+    ]
+    out_specs = [board_spec, lane_spec, lane_spec, lane_spec, lane_spec,
+                 lane_spec]
+    if emit_pre_reset:
+        out_shape.append(jax.ShapeDtypeStruct((16, b), jnp.int8))
+        out_specs.append(board_spec)
+
+    use_prng = rng_bits is None
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        board_spec,
+        lane_spec,
+    ]
+    inputs = [seed_arr, boards, actions2]
+    if not use_prng:
+        in_specs.append(
+            pl.BlockSpec((8, block_size), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(rng_bits)
+
+    outs = pl.pallas_call(
+        functools.partial(_step_kernel, emit_pre_reset, use_prng),
+        grid=(b // block_size,),
+        in_specs=in_specs,
+        out_shape=tuple(out_shape),
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+    )(*inputs)
+
+    new_boards, score, valid, done, max_exp, second_exp = outs[:6]
+    result = (
+        new_boards,
+        score[0],
+        valid[0] != 0,
+        done[0] != 0,
+        max_exp[0],
+        second_exp[0],
+    )
+    if emit_pre_reset:
+        result = result + (outs[6],)
+    return result
+
+
+def to_cell_major(boards):
+    """``(B, 4, 4)`` -> ``(16, B)`` int8."""
+    b = boards.shape[0]
+    return boards.reshape(b, 16).T
+
+
+def from_cell_major(boards_cm):
+    """``(16, B)`` -> ``(B, 4, 4)`` int8."""
+    return boards_cm.T.reshape(-1, 4, 4)
