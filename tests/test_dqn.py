@@ -236,3 +236,19 @@ def test_dedup_mask():
     b2 = rand_boards(jax.random.PRNGKey(2), 2)
     save, dd = dedup_mask(dd, b2, b1, dones)
     assert np.asarray(save).all()
+
+
+def test_fused_conv_block_matches_four_convs():
+    """The single 4x4-conv fusion is algebraically exact vs the literal
+    four parallel SAME convs."""
+    from tpu2048.models.dqn import MultiKernelConvBlock
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 4, 4, 16))
+    fused = MultiKernelConvBlock(features=32, dtype=jnp.float32, fused=True)
+    naive = MultiKernelConvBlock(features=32, dtype=jnp.float32, fused=False)
+    params = fused.init(jax.random.PRNGKey(1), x)
+    y_fused = fused.apply(params, x)
+    y_naive = naive.apply(params, x)  # identical param tree
+    np.testing.assert_allclose(
+        np.asarray(y_fused), np.asarray(y_naive), rtol=1e-5, atol=1e-5
+    )

@@ -70,6 +70,10 @@ class DQNConfig:
     dropout: float = 0.5
     num_blocks: int = 3
     bf16: bool = True
+    fused_conv: bool = False  # single-4x4-conv fusion: algebraically exact
+    # but the per-apply weight assembly (~120 MB scatter at features=2048)
+    # costs more than the saved MXU launches — measured slower in the real
+    # training loop; kept as an option for small-channel configs
 
 
 @struct.dataclass

@@ -37,25 +37,72 @@ NUM_TILE_CHANNELS = 16  # one-hot depth, Dqn8:274
 
 
 class MultiKernelConvBlock(nn.Module):
-    """Four parallel convs (k=1..4), concat, ReLU (Dqn8:234-246)."""
+    """Four parallel convs (k=1..4), concat, ReLU (Dqn8:234-246).
+
+    Parameters stay four logical kernels (reference topology), but the
+    computation runs as ONE 4x4 convolution with padding ((1,2),(1,2)) and
+    the smaller kernels zero-embedded at their SAME-padding offsets — an
+    exact algebraic fusion that turns 4 MXU launches into 1:
+      k=1 -> tap [1,1]; k=2 -> taps [1:3,1:3]; k=3 -> taps [0:3,0:3];
+      k=4 -> all taps (TF/XLA SAME pads more at the end, so pad_before for
+      k=4 on a size-4 axis is 1 and for k=2 is 0).
+    ``fused=False`` keeps the literal 4-conv computation (used to verify
+    equivalence in tests).
+    """
 
     features: int = 2048
     dtype: Any = jnp.bfloat16
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x):
         d = self.features // 4
-        outs = [
-            nn.Conv(
-                d,
-                (k, k),
-                padding="SAME",
-                dtype=self.dtype,
-                name=f"conv{k}x{k}",
-            )(x)
-            for k in (1, 2, 3, 4)
-        ]
-        return nn.relu(jnp.concatenate(outs, axis=-1))
+        in_ch = x.shape[-1]
+        kernels = []
+        biases = []
+        for k in (1, 2, 3, 4):
+            kernels.append(
+                self.param(
+                    f"conv{k}x{k}_kernel",
+                    nn.initializers.lecun_normal(),
+                    (k, k, in_ch, d),
+                    jnp.float32,
+                )
+            )
+            biases.append(
+                self.param(
+                    f"conv{k}x{k}_bias", nn.initializers.zeros, (d,), jnp.float32
+                )
+            )
+        if not self.fused:
+            outs = []
+            pads = {1: (0, 0), 2: (0, 1), 3: (1, 1), 4: (1, 2)}
+            for k, w, b in zip((1, 2, 3, 4), kernels, biases):
+                y = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype),
+                    w.astype(self.dtype),
+                    window_strides=(1, 1),
+                    padding=(pads[k], pads[k]),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                outs.append(y + b.astype(self.dtype))
+            return nn.relu(jnp.concatenate(outs, axis=-1))
+
+        # Zero-embed each kernel into the 4x4 frame at its SAME offset.
+        w = jnp.zeros((4, 4, in_ch, 4 * d), jnp.float32)
+        w = w.at[1:2, 1:2, :, 0:d].set(kernels[0])
+        w = w.at[1:3, 1:3, :, d : 2 * d].set(kernels[1])
+        w = w.at[0:3, 0:3, :, 2 * d : 3 * d].set(kernels[2])
+        w = w.at[:, :, :, 3 * d :].set(kernels[3])
+        b = jnp.concatenate(biases)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((1, 2), (1, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return nn.relu(y + b.astype(self.dtype))
 
 
 class DQNCNN(nn.Module):
@@ -67,6 +114,7 @@ class DQNCNN(nn.Module):
     dropout_rate: float = 0.5
     num_blocks: int = 3
     dtype: Any = jnp.bfloat16
+    fused: bool = True
 
     @nn.compact
     def __call__(self, boards, *, train: bool = False):
@@ -77,7 +125,10 @@ class DQNCNN(nn.Module):
         )
         for i in range(self.num_blocks):
             x = MultiKernelConvBlock(
-                features=self.features, dtype=self.dtype, name=f"block{i}"
+                features=self.features,
+                dtype=self.dtype,
+                fused=self.fused,
+                name=f"block{i}",
             )(x)
         x = x.reshape((x.shape[0], -1))
         x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="dense")(x))
@@ -99,6 +150,7 @@ def create_model(config) -> DQNCNN:
         dropout_rate=config.dropout,
         num_blocks=config.num_blocks,
         dtype=jnp.bfloat16 if config.bf16 else jnp.float32,
+        fused=getattr(config, "fused_conv", True),
     )
 
 
