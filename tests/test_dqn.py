@@ -252,3 +252,19 @@ def test_fused_conv_block_matches_four_convs():
     np.testing.assert_allclose(
         np.asarray(y_fused), np.asarray(y_naive), rtol=1e-5, atol=1e-5
     )
+
+
+def test_checked_wrapper_catches_nan():
+    from tpu2048.utils import checked
+
+    import jax.numpy as _jnp
+
+    def bad(x):
+        return _jnp.log(x)  # NaN for negative input
+
+    f = checked(jax.jit(bad))
+    f(_jnp.asarray([1.0, 2.0]))  # fine
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        f(_jnp.asarray([-1.0]))

@@ -167,3 +167,35 @@ def test_fast_env_rollout_interpret():
     assert (np.asarray(state.episode_steps) <= 60).all()
     # Scores accumulate and reset with episodes.
     assert int(np.asarray(state.score).sum()) > 0
+
+
+def test_fast_env_sharded_equals_unsharded():
+    """shard_map'd kernel over the 8-device CPU mesh: with external bits
+    the sharded step equals the single-device step exactly."""
+    from tpu2048.env.fast import make_sharded_kernel
+    from tpu2048.parallel import MeshConfig, create_mesh, data_sharding
+
+    config = FastEnvConfig(
+        terminal_bonus=True, block_size=32, interpret=True, external_rng=True
+    )
+    state = fast_reset(config, jax.random.PRNGKey(0), B)
+    ref_state, ref_ts = fast_step(config, state, need_obs=True)
+
+    mesh = create_mesh(MeshConfig(data_parallel=8))
+    kernel = make_sharded_kernel(config, mesh)
+    sh = data_sharding(mesh)
+    import jax as _jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    boards_sh = _jax.device_put(state.boards, NamedSharding(mesh, P(None, "data")))
+    state2 = state.replace(boards=boards_sh)
+    sh_state, sh_ts = fast_step(config, state2, sharded_kernel=kernel)
+
+    np.testing.assert_array_equal(
+        np.asarray(ref_state.boards), np.asarray(sh_state.boards)
+    )
+    np.testing.assert_array_equal(np.asarray(ref_ts.obs), np.asarray(sh_ts.obs))
+    np.testing.assert_allclose(
+        np.asarray(ref_ts.reward), np.asarray(sh_ts.reward)
+    )
+    np.testing.assert_array_equal(np.asarray(ref_ts.done), np.asarray(sh_ts.done))

@@ -67,6 +67,9 @@ def _add_dqn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--checkpoint-dir", type=str, default=None)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint")
+    p.add_argument("--prune-on-resume", type=int, default=0,
+                   help="drop N worst episodes from replay after resume "
+                        "(reference load_memory pruned 99)")
     p.add_argument("--rollback", action="store_true",
                    help="enable the block rollback-on-regression policy")
     p.add_argument("--log", type=str, default=None)
@@ -125,6 +128,7 @@ def _dqn_config(args):
         steps_per_chunk=args.steps_per_chunk,
         replay_shards=args.replay_shards,
         rollback=args.rollback,
+        prune_on_resume=getattr(args, "prune_on_resume", 0),
         seed=args.seed,
     )
 

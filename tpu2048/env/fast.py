@@ -74,16 +74,66 @@ def fast_reset(config: FastEnvConfig, key, batch_size: int) -> FastEnvState:
     )
 
 
+def make_sharded_kernel(config: FastEnvConfig, mesh, data_axis: str = "data"):
+    """Wrap the fused kernel in ``shard_map`` over the data mesh axis.
+
+    Each device runs the kernel on its local shard of envs — zero
+    cross-device traffic. The device's PRNG stream is decorrelated by
+    folding ``axis_index`` into the step seed.
+
+    Returns a function with the signature of
+    :func:`tpu2048.ops.pallas_step.fused_env_step` (boards sharded
+    ``P(None, data)``, lane outputs ``P(data)``).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    external = config.external_rng
+
+    def local(boards, actions, seed, rng_bits=None):
+        # Decorrelate device PRNG streams (no-op when bits are external —
+        # they are already sharded per device).
+        seed = seed + jax.lax.axis_index(data_axis) * jnp.int32(7919)
+        return ps.fused_env_step(
+            boards,
+            actions,
+            seed,
+            rng_bits,
+            block_size=config.block_size,
+            emit_pre_reset=True,
+            interpret=config.interpret,
+        )
+
+    in_specs = [P(None, data_axis), P(data_axis), P()]
+    if external:
+        in_specs.append(P(None, data_axis))
+    out_specs = (
+        P(None, data_axis),  # new boards
+        P(data_axis),  # score
+        P(data_axis),  # valid
+        P(data_axis),  # done
+        P(data_axis),  # max_exp
+        P(data_axis),  # second_exp
+        P(None, data_axis),  # pre-reset boards
+    )
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=tuple(in_specs), out_specs=out_specs,
+        check_vma=False,
+    )
+
+
 def fast_step(
     config: FastEnvConfig,
     state: FastEnvState,
     actions: Optional[jax.Array] = None,
     need_obs: bool = False,
+    sharded_kernel=None,
 ) -> Tuple[FastEnvState, FastTimeStep]:
     """One fused step. ``actions=None`` -> in-kernel random-legal policy.
 
     ``need_obs=True`` additionally materializes the pre-reset board in the
     timestep (for replay insertion); off by default to save bandwidth.
+    ``sharded_kernel`` (from :func:`make_sharded_kernel`) routes the kernel
+    through shard_map for multi-device meshes.
     """
     b = state.batch_size
     if actions is None:
@@ -92,17 +142,25 @@ def fast_step(
     if config.external_rng:
         key = jax.random.fold_in(jax.random.PRNGKey(2048), state.seed)
         rng_bits = jax.random.bits(key, (8, b), jnp.uint32)
-    outs = ps.fused_env_step(
-        state.boards,
-        actions,
-        state.seed,
-        rng_bits,
-        block_size=config.block_size,
-        emit_pre_reset=need_obs,
-        interpret=config.interpret,
-    )
+    if sharded_kernel is not None:
+        args = (state.boards, actions, jnp.asarray(state.seed, jnp.int32))
+        if rng_bits is not None:
+            args = args + (rng_bits,)
+        outs = sharded_kernel(*args)
+        need = True  # sharded kernel always emits pre-reset
+    else:
+        outs = ps.fused_env_step(
+            state.boards,
+            actions,
+            state.seed,
+            rng_bits,
+            block_size=config.block_size,
+            emit_pre_reset=need_obs,
+            interpret=config.interpret,
+        )
+        need = need_obs
     new_boards, merge_score, valid, done, max_exp, second_exp = outs[:6]
-    obs = outs[6] if need_obs else new_boards
+    obs = outs[6] if need else new_boards
 
     # Simple reward (nopenalty:122-138) + driver terminal bonus
     # (mainDQL:202-213).

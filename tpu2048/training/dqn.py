@@ -62,6 +62,8 @@ class DQNTrainConfig:
     rollback_block: int = 20  # BLOCK_SIZE, mainDQL:109
     rollback_drop: float = 50.0  # avg max-tile drop triggering restore
     rollback_max_consecutive: int = 2  # mainDQL:292
+    prune_on_resume: int = 0  # drop N worst episodes after restore
+    # (the reference's load_memory pruned 99, Dqn8:490-502)
     seed: int = 0
 
 
@@ -139,8 +141,10 @@ def train_chunk(config: DQNTrainConfig, model, tx, state: DQNLoopState):
         rng, k_act, k_learn = jax.random.split(st.rng, 3)
 
         # --- actor ---------------------------------------------------------
+        # (named scopes group HLO for profiling, metrics/profiling.py)
         boards = st.env_state.board
-        legal = board_ops.legal_moves_mask(boards)
+        with jax.named_scope("actor"):
+            legal = board_ops.legal_moves_mask(boards)
         eps = dqnlib.epsilon_value(acfg, st.agent.step_counter)
         actions = dqnlib.select_actions(
             model,
@@ -189,9 +193,10 @@ def train_chunk(config: DQNTrainConfig, model, tx, state: DQNLoopState):
             agent, buffer = args
             return agent, buffer, jnp.float32(0.0), jnp.int32(0)
 
-        agent, buffer, mean_loss, n_upd = jax.lax.cond(
-            can_train, do_updates, no_updates, (agent, buffer)
-        )
+        with jax.named_scope("learner"):
+            agent, buffer, mean_loss, n_upd = jax.lax.cond(
+                can_train, do_updates, no_updates, (agent, buffer)
+            )
 
         # --- metrics -------------------------------------------------------
         done_f = ts.done.astype(jnp.float32)
@@ -264,6 +269,13 @@ def train(
         latest = ckpt_manager.latest_step()
         if latest is not None:
             state = ckpt_manager.restore(latest, state)
+            if config.prune_on_resume > 0:
+                per_shard = max(
+                    1, config.prune_on_resume // config.replay_shards
+                )
+                state = state.replace(
+                    buffer=replaylib.sharded_prune(state.buffer, per_shard)
+                )
     chunk = jax.jit(
         lambda s: train_chunk(config, model, tx, s), donate_argnums=0
     )
