@@ -53,7 +53,7 @@ def test_roundtrip_identical_continuation(tmp_path):
     tx = make_optimizer(config.agent)
     model, state = init_loop_state(config)
     chunk = jax.jit(lambda s: train_chunk(config, model, tx, s))
-    state, _ = chunk(state)
+    state, _, _ = chunk(state)
 
     mgr = CheckpointManager(str(tmp_path / "ckpt"))
     mgr.save(1, state, wait=True)
@@ -62,8 +62,8 @@ def test_roundtrip_identical_continuation(tmp_path):
     assert leaves_equal(state, restored)
 
     # Continue both: trajectories must be bit-identical.
-    cont_a, _ = chunk(state)
-    cont_b, _ = chunk(restored)
+    cont_a, _, _ = chunk(state)
+    cont_b, _, _ = chunk(restored)
     assert leaves_equal(cont_a.env_state.board, cont_b.env_state.board)
     assert leaves_equal(cont_a.agent.params, cont_b.agent.params)
     assert leaves_equal(cont_a.buffer.boards, cont_b.buffer.boards)

@@ -49,3 +49,38 @@ def test_dqn_training_loop_end_to_end():
     assert ckpts, "checkpoint cadence never fired"
     # Epsilon decayed from 0.9.
     assert last["epsilon"] < 0.9
+
+
+def test_trace_env0_reference_csv(tmp_path):
+    """Per-step env-0 trace mirrors the reference's debug CSV columns."""
+    import dataclasses
+
+    rows = []
+    config = DQNTrainConfig(
+        agent=DQNConfig(
+            features=8, hidden=16, num_blocks=1, bf16=False, dropout=0.0,
+            memory_size=512, epsilon=0.5,
+        ),
+        env=EnvConfig(reward=SIMPLE, terminal_bonus=True),
+        num_envs=8,
+        updates_per_step=1,
+        train_batch=16,
+        steps_per_chunk=8,
+        trace_env0=True,
+        seed=1,
+    )
+    train(config, total_episodes=8, trace_fn=rows.append)
+    assert rows, "no trace rows"
+    ep, action, legal, reward, total, state, done, saved, steps = rows[0]
+    assert action in (0, 1, 2, 3)
+    assert isinstance(legal, list) and all(a in range(4) for a in legal)
+    assert len(state) == 16
+    assert isinstance(done, bool) and isinstance(saved, bool)
+    assert steps >= 1
+    # Episode counter advances when env 0 finishes.
+    eps_seen = [r[0] for r in rows]
+    assert eps_seen == sorted(eps_seen)
+    # Total reward accumulates within an episode.
+    first_ep = [r for r in rows if r[0] == eps_seen[0]]
+    if len(first_ep) > 2:
+        assert first_ep[1][4] != first_ep[0][4] or first_ep[1][3] == 0.0

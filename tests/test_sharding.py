@@ -94,14 +94,14 @@ def test_dqn_train_chunk_sharded_equals_unsharded(model_parallel):
     model, state0 = init_loop_state(config)
 
     # Reference: same config (8 replay shards) on one device.
-    ref_state, _ = jax.jit(lambda s: train_chunk(config, model, tx, s))(state0)
+    ref_state, _, _ = jax.jit(lambda s: train_chunk(config, model, tx, s))(state0)
 
     dp = 8 // model_parallel
     mesh = create_mesh(MeshConfig(data_parallel=dp, model_parallel=model_parallel))
     _, fresh = init_loop_state(config)
     shardings = dqn_loop_sharding(fresh, mesh, model_parallel)
     placed = place_loop_state(fresh, shardings)
-    sh_state, _ = jax.jit(
+    sh_state, _, _ = jax.jit(
         lambda s: train_chunk(config, model, tx, s),
         in_shardings=(shardings,),
         out_shardings=None,

@@ -72,6 +72,8 @@ def _add_dqn_args(p: argparse.ArgumentParser) -> None:
                         "(reference load_memory pruned 99)")
     p.add_argument("--rollback", action="store_true",
                    help="enable the block rollback-on-regression policy")
+    p.add_argument("--debug-csv", type=str, default=None,
+                   help="per-step CSV trace of env 0 (reference debug log)")
     p.add_argument("--log", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
 
@@ -129,6 +131,7 @@ def _dqn_config(args):
         replay_shards=args.replay_shards,
         rollback=args.rollback,
         prune_on_resume=getattr(args, "prune_on_resume", 0),
+        trace_env0=bool(getattr(args, "debug_csv", None)),
         seed=args.seed,
     )
 
@@ -150,15 +153,30 @@ def cmd_train(args) -> int:
                 from tpu2048.checkpoint import CheckpointManager
 
                 mgr = CheckpointManager(args.checkpoint_dir)
+            trace_logger = None
+            trace_fn = None
+            if getattr(args, "debug_csv", None):
+                from tpu2048.metrics import CSVLogger
+
+                # The reference driver's header (mainDQL:137).
+                trace_logger = CSVLogger(
+                    args.debug_csv,
+                    ["Episode", "Action", "Legal Moves", "Reward",
+                     "Total Reward", "State", "Done", "Ho salvato", "Mosse"],
+                )
+                trace_fn = trace_logger.log
             train(
                 _dqn_config(args),
                 total_episodes=args.episodes,
                 log_fn=logger.log,
                 ckpt_manager=mgr,
                 resume=args.resume,
+                trace_fn=trace_fn,
             )
             if mgr:
                 mgr.close()
+            if trace_logger:
+                trace_logger.close()
     finally:
         logger.close()
     return 0
@@ -242,6 +260,8 @@ def build_parser() -> argparse.ArgumentParser:
         prog="train2048",
         description="TPU-native 2048 RL framework (tpu2048)",
     )
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (debugging)")
     sub = p.add_subparsers(dest="command", required=True)
 
     pt = sub.add_parser("train", help="train an agent")
@@ -283,6 +303,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "cpu", False):
+        import jax
+
+        # Must happen before any backend initializes; overrides this
+        # machine's sitecustomize-forced platform list.
+        jax.config.update("jax_platforms", "cpu")
     return args.fn(args)
 
 

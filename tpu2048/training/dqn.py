@@ -64,6 +64,8 @@ class DQNTrainConfig:
     rollback_max_consecutive: int = 2  # mainDQL:292
     prune_on_resume: int = 0  # drop N worst episodes after restore
     # (the reference's load_memory pruned 99, Dqn8:490-502)
+    trace_env0: bool = False  # per-step debug trace of env 0 (the
+    # reference's per-step CSV, mainDQL:22-25,234)
     seed: int = 0
 
 
@@ -226,12 +228,31 @@ def train_chunk(config: DQNTrainConfig, model, tx, state: DQNLoopState):
             loss_count=st.loss_count + n_upd,
             last_loss=jnp.where(n_upd > 0, mean_loss, st.last_loss),
         )
-        return st, eps
+        if config.trace_env0:
+            # Per-step debug trace of env 0 — the reference's CSV columns
+            # (action, legal moves, reward, total reward, state, done,
+            # memory_saved, game_step; mainDQL:22-25,234).
+            legal_bits = jnp.sum(
+                legal[0].astype(jnp.int32) * jnp.asarray([1, 2, 4, 8]), axis=-1
+            )
+            trace = (
+                actions[0],
+                legal_bits,
+                ts.reward[0],
+                ts.episode_return[0],
+                ts.done[0],
+                save[0],
+                ts.episode_steps[0],
+                boards[0].reshape(16),
+            )
+        else:
+            trace = ()
+        return st, (eps, trace)
 
-    state, eps_trace = jax.lax.scan(
+    state, (eps_trace, traces) = jax.lax.scan(
         body, state, None, length=config.steps_per_chunk
     )
-    return state, eps_trace[-1]
+    return state, eps_trace[-1], traces
 
 
 def train(
@@ -244,6 +265,7 @@ def train(
     model=None,
     ckpt_manager=None,
     resume: bool = False,
+    trace_fn: Optional[Callable[[list], None]] = None,
 ) -> List[dict]:
     """Host loop with the reference's periodic-op cadence.
 
@@ -301,9 +323,31 @@ def train(
         prev_avg=None,
         restored=0,
     )
+    env0_episode = 0
     while int(state.episodes_done) < total_episodes:
-        state, eps = chunk(state)
+        state, eps, traces = chunk(state)
         ep = int(state.episodes_done)
+        if config.trace_env0 and trace_fn is not None:
+            import numpy as _np
+
+            cols = [_np.asarray(t) for t in traces]
+            for i in range(len(cols[0])):
+                legal = [a for a in range(4) if int(cols[1][i]) >> a & 1]
+                trace_fn(
+                    [
+                        env0_episode,
+                        int(cols[0][i]),
+                        legal,
+                        float(cols[2][i]),
+                        float(cols[3][i]),
+                        cols[7][i].tolist(),
+                        bool(cols[4][i]),
+                        bool(cols[5][i]),
+                        int(cols[6][i]),
+                    ]
+                )
+                if bool(cols[4][i]):
+                    env0_episode += 1
 
         if ep // config.target_sync_episodes > last_sync // config.target_sync_episodes:
             state = state.replace(agent=sync(state.agent))
