@@ -53,7 +53,7 @@ def test_dqn_training_loop_end_to_end():
 
 def test_trace_env0_reference_csv(tmp_path):
     """Per-step env-0 trace mirrors the reference's debug CSV columns."""
-    import dataclasses
+
 
     rows = []
     config = DQNTrainConfig(

@@ -18,7 +18,6 @@ README's flag names:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import sys
 
