@@ -109,3 +109,31 @@ def test_cli_dqn_train_eval_plot(tmp_path):
 def test_cli_eval_model_requires_checkpoint(capsys):
     rc = cli_main(["eval", "--policy", "model", "--games", "4"])
     assert rc == 2
+
+
+def test_eval_uses_saved_run_config(tmp_path):
+    """Training writes config.json; eval rebuilds the model from it even
+    when the eval command omits the model flags."""
+    ckpt = tmp_path / "cfg_ckpt"
+    rc = cli_main(
+        ["train", "dqn", "--episodes", "6",
+         "--features", "8", "--hidden", "16", "--blocks", "1", "--no-bf16",
+         "--envs", "8", "--batch", "16", "--updates-per-step", "1",
+         "--memory-size", "512", "--steps-per-chunk", "8",
+         "--checkpoint-dir", str(ckpt)]
+    )
+    assert rc == 0
+    assert (ckpt / "config.json").exists()
+
+    import contextlib, io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        # No model flags here — they come from config.json.
+        rc = cli_main(
+            ["eval", "--policy", "model", "--checkpoint-dir", str(ckpt),
+             "--games", "4", "--eval-batch", "4"]
+        )
+    assert rc == 0
+    summary = json.loads(buf.getvalue())
+    assert summary["games"] == 4

@@ -18,8 +18,37 @@ README's flag names:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
+import os
 import sys
+
+
+def _save_run_config(args, directory: str) -> None:
+    """Persist the model/env-shaping flags next to the checkpoints so
+    eval/demo can rebuild the exact train state without repeating flags."""
+    keys = [
+        "gamma", "epsilon", "epsilon_min", "epsilon_decay", "batch", "envs",
+        "updates_per_step", "memory_size", "per_alpha", "no_dedup",
+        "no_terminal_bonus", "features", "hidden", "blocks", "no_bf16",
+        "steps_per_chunk", "replay_shards", "alpha", "seed",
+    ]
+    payload = {k: getattr(args, k) for k in keys if hasattr(args, k)}
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, "config.json"), "w") as fh:
+        json.dump(payload, fh, indent=2)
+
+
+def _load_run_config(args, directory: str):
+    """Overlay a saved config.json (if present) onto the CLI args."""
+    path = os.path.join(directory, "config.json")
+    if not os.path.isfile(path):
+        return args
+    with open(path) as fh:
+        payload = json.load(fh)
+    for k, v in payload.items():
+        setattr(args, k, v)
+    return args
 
 
 def _add_tabular_args(p: argparse.ArgumentParser) -> None:
@@ -152,6 +181,7 @@ def cmd_train(args) -> int:
                 from tpu2048.checkpoint import CheckpointManager
 
                 mgr = CheckpointManager(args.checkpoint_dir)
+                _save_run_config(args, args.checkpoint_dir)
             trace_logger = None
             trace_fn = None
             if getattr(args, "debug_csv", None):
@@ -195,6 +225,7 @@ def cmd_eval(args) -> int:
         from tpu2048.checkpoint import CheckpointManager
         from tpu2048.training.dqn import init_loop_state
 
+        args = _load_run_config(args, args.checkpoint_dir)
         cfg = _dqn_config(args)
         model, template = init_loop_state(cfg)
         mgr = CheckpointManager(args.checkpoint_dir)
@@ -227,6 +258,7 @@ def cmd_demo(args) -> int:
         from tpu2048.eval import greedy_dqn_policy
         from tpu2048.training.dqn import init_loop_state
 
+        args = _load_run_config(args, args.checkpoint_dir)
         cfg = _dqn_config(args)
         model, template = init_loop_state(cfg)
         mgr = CheckpointManager(args.checkpoint_dir)
