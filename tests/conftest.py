@@ -22,3 +22,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is dominated by XLA compile time
+# (sharded train chunks, checkpoint round-trips recompile identical programs
+# run-to-run). Caching compiled executables under the repo's .pytest_cache
+# makes re-runs several times faster without affecting test semantics.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".pytest_cache", "jax_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

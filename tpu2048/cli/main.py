@@ -282,7 +282,10 @@ def cmd_plot(args) -> int:
 def cmd_bench(args) -> int:
     import bench as _bench  # repo-root bench.py
 
-    _bench.main(batch=args.batch, steps=args.steps)
+    if args.learner:
+        _bench.learner_main(batch=args.train_batch, updates=args.updates)
+    else:
+        _bench.main(batch=args.batch, steps=args.steps)
     return 0
 
 
@@ -325,9 +328,14 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--out", type=str, required=True)
     pp.set_defaults(fn=cmd_plot)
 
-    pb = sub.add_parser("bench", help="env throughput benchmark")
+    pb = sub.add_parser("bench", help="throughput benchmarks")
     pb.add_argument("--batch", type=int, default=65536)
     pb.add_argument("--steps", type=int, default=256)
+    pb.add_argument("--learner", action="store_true",
+                    help="benchmark DQN learner updates/s (full-size CNN) "
+                    "instead of env steps/s")
+    pb.add_argument("--train-batch", type=int, default=64)
+    pb.add_argument("--updates", type=int, default=200)
     pb.set_defaults(fn=cmd_bench)
     return p
 
