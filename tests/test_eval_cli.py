@@ -137,3 +137,49 @@ def test_eval_uses_saved_run_config(tmp_path):
     assert rc == 0
     summary = json.loads(buf.getvalue())
     assert summary["games"] == 4
+
+
+def test_game_session_manual_and_reset():
+    from tpu2048.eval.demo import GameSession
+
+    s = GameSession(mode="manual", seed=3)
+    assert s.alive and s.moves == 0 and s.last_action is None
+    before = s.board_values().sum()
+    for a in (0, 1, 2, 3):
+        s.step_manual(a)
+    assert s.moves == 4 and s.last_action == 3
+    assert s.board_values().sum() >= before  # merges preserve tile sum; spawns add
+    stats = s.stats()
+    assert stats["moves"] == 4 and stats["max_tile"] >= 4
+    s.reset()
+    assert s.moves == 0 and s.last_action is None and s.alive
+
+
+def test_game_session_auto_runs():
+    from tpu2048.eval.demo import GameSession
+
+    s = GameSession(mode="random", seed=4)
+    actions = set()
+    while s.alive and s.moves < 300:
+        actions.add(s.step_auto())
+    assert len(actions) >= 3  # random-legal policy uses many directions
+    assert s.score > 0
+
+
+def test_gui_tile_style_and_headless_import():
+    # gui.py must be importable without a display (tkinter only inside
+    # run_gui); tile_style maps the official palette.
+    from tpu2048.eval.gui import TILE_HEX, tile_style
+
+    assert tile_style(2) == (TILE_HEX[2], "#776e65")
+    assert tile_style(2048)[0] == TILE_HEX[2048]
+    assert tile_style(4096)[0] == "#3c3a32"  # super-tile style
+    assert tile_style(0)[0] == TILE_HEX[0]
+
+
+def test_cli_has_gui_subcommand():
+    from tpu2048.cli.main import build_parser
+
+    parser = build_parser()
+    args = parser.parse_args(["gui", "--mode", "random", "--delay", "0.1"])
+    assert args.mode == "random" and args.fn.__name__ == "cmd_gui"

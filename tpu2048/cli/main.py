@@ -249,24 +249,37 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def _demo_policy(args):
+    """Load the greedy model policy for demo/gui model mode (or None)."""
+    if args.mode != "model":
+        return None
+    from tpu2048.checkpoint import CheckpointManager
+    from tpu2048.eval import greedy_dqn_policy
+    from tpu2048.training.dqn import init_loop_state
+
+    args = _load_run_config(args, args.checkpoint_dir)
+    cfg = _dqn_config(args)
+    model, template = init_loop_state(cfg)
+    mgr = CheckpointManager(args.checkpoint_dir)
+    step = args.step if args.step is not None else mgr.latest_step()
+    state = mgr.restore(step, template)
+    return greedy_dqn_policy(model, state.agent.params)
+
+
 def cmd_demo(args) -> int:
     from tpu2048.eval.demo import play
 
-    policy = None
-    if args.mode == "model":
-        from tpu2048.checkpoint import CheckpointManager
-        from tpu2048.eval import greedy_dqn_policy
-        from tpu2048.training.dqn import init_loop_state
-
-        args = _load_run_config(args, args.checkpoint_dir)
-        cfg = _dqn_config(args)
-        model, template = init_loop_state(cfg)
-        mgr = CheckpointManager(args.checkpoint_dir)
-        step = args.step if args.step is not None else mgr.latest_step()
-        state = mgr.restore(step, template)
-        policy = greedy_dqn_policy(model, state.agent.params)
-    stats = play(mode=args.mode, policy=policy, delay=args.delay,
+    stats = play(mode=args.mode, policy=_demo_policy(args), delay=args.delay,
                  seed=args.seed)
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_gui(args) -> int:
+    from tpu2048.eval.gui import run_gui
+
+    stats = run_gui(mode=args.mode, policy=_demo_policy(args),
+                    delay_ms=int(args.delay * 1000), seed=args.seed)
     print(json.dumps(stats))
     return 0
 
@@ -322,6 +335,14 @@ def build_parser() -> argparse.ArgumentParser:
     pd.add_argument("--delay", type=float, default=0.5)
     pd.add_argument("--step", type=int, default=None)
     pd.set_defaults(fn=cmd_demo)
+
+    pg = sub.add_parser("gui", help="Tkinter play: manual/random/model")
+    _add_dqn_args(pg)
+    pg.add_argument("--mode", choices=["manual", "random", "model"],
+                    default="manual")
+    pg.add_argument("--delay", type=float, default=0.5)
+    pg.add_argument("--step", type=int, default=None)
+    pg.set_defaults(fn=cmd_gui)
 
     pp = sub.add_parser("plot", help="render training plots from JSONL logs")
     pp.add_argument("--log", type=str, required=True)

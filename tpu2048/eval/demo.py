@@ -75,6 +75,88 @@ def _read_key() -> str:
         termios.tcsetattr(fd, termios.TCSADRAIN, old)
 
 
+class GameSession:
+    """One interactive game, UI-agnostic (shared by terminal + Tk GUIs).
+
+    Wraps a single non-auto-resetting env with fused jitted step calls —
+    eager per-op dispatch is prohibitive on a remote TPU (one RPC per op).
+    Each call returns everything a HUD needs (board, score, legality) so
+    the frontend does one transfer per move.
+    """
+
+    def __init__(self, mode: str = "manual", policy=None, seed: int = 0):
+        if mode == "random":
+            from tpu2048.eval.evaluate import random_legal_policy
+
+            policy = random_legal_policy()
+        if mode in ("random", "model") and policy is None:
+            raise ValueError("model mode needs a policy")
+        self.mode = mode
+        self.config = EnvConfig(reward=SIMPLE, auto_reset=False)
+        self.moves = 0
+        self.last_action: Optional[int] = None
+
+        config = self.config
+
+        @jax.jit
+        def _manual_step(st, action):
+            st, ts = envlib.step(config, st, action)
+            return st, ts.done[0], jnp.any(ts.legal_mask[0])
+
+        @jax.jit
+        def _auto_step(st, k):
+            legal = board_ops.legal_moves_mask(st.board)
+            actions = policy(st.board, legal, k)
+            st, ts = envlib.step(config, st, actions)
+            return st, actions[0], ts.done[0], jnp.any(ts.legal_mask[0])
+
+        self._manual_step = _manual_step
+        self._auto_step = _auto_step
+        self._key = jax.random.PRNGKey(seed)
+        self.reset()
+
+    def reset(self) -> None:
+        self._key, k0 = jax.random.split(self._key)
+        self.state = envlib.reset(self.config, k0, 1)
+        self.moves = 0
+        self.last_action = None
+        self.alive = bool(
+            jnp.any(jax.jit(board_ops.legal_moves_mask)(self.state.board)[0])
+        )
+
+    def step_manual(self, action: int) -> None:
+        """Apply one directional move (0=L 1=U 2=R 3=D)."""
+        self.state, done, any_legal = self._manual_step(
+            self.state, jnp.asarray([action], jnp.int32)
+        )
+        self.last_action = action
+        self.moves += 1
+        self.alive = bool(any_legal) and not bool(done)
+
+    def step_auto(self) -> int:
+        """One policy-driven move (random/model modes); returns the action."""
+        self._key, k_act = jax.random.split(self._key)
+        self.state, act0, done, any_legal = self._auto_step(self.state, k_act)
+        self.last_action = int(act0)
+        self.moves += 1
+        self.alive = bool(any_legal) and not bool(done)
+        return self.last_action
+
+    def board_values(self) -> np.ndarray:
+        return np.asarray(board_ops.board_values(self.state.board[0]))
+
+    @property
+    def score(self) -> int:
+        return int(self.state.score[0])
+
+    def stats(self) -> dict:
+        return {
+            "score": self.score,
+            "moves": self.moves,
+            "max_tile": int(board_ops.max_tile_value(self.state.board[0])),
+        }
+
+
 def play(
     mode: str = "manual",
     policy=None,
@@ -89,40 +171,11 @@ def play(
 
     Returns the final stats dict (score, moves, max tile).
     """
-    config = EnvConfig(reward=SIMPLE, auto_reset=False)
-    key = jax.random.PRNGKey(seed)
-    key, k0 = jax.random.split(key)
-    state = envlib.reset(config, k0, 1)
-
-    if mode == "random":
-        from tpu2048.eval.evaluate import random_legal_policy
-
-        policy = random_legal_policy()
-    if mode in ("random", "model") and policy is None:
-        raise ValueError("model mode needs a policy")
-
-    # Fused jitted calls — eager per-op dispatch is prohibitive on a
-    # remote TPU (one RPC per op). Each call returns everything the HUD
-    # needs (board, score, legality) so the loop does one transfer/step.
-    @jax.jit
-    def manual_step(st, action):
-        st, ts = envlib.step(config, st, action)
-        return st, ts, jnp.any(ts.legal_mask[0])
-
-    @jax.jit
-    def auto_step(st, k):
-        legal = board_ops.legal_moves_mask(st.board)
-        actions = policy(st.board, legal, k)
-        st, ts = envlib.step(config, st, actions)
-        return st, ts, actions[0], jnp.any(ts.legal_mask[0])
-
-    moves = 0
-    last_action = None
-    alive = bool(jnp.any(jax.jit(board_ops.legal_moves_mask)(state.board)[0]))
+    session = GameSession(mode=mode, policy=policy, seed=seed)
     for _ in range(max_steps):
-        print(render_board(state.board[0], int(state.score[0]), moves,
-                           last_action), file=out)
-        if not alive:
+        print(render_board(session.state.board[0], session.score,
+                           session.moves, session.last_action), file=out)
+        if not session.alive:
             print("  GAME OVER", file=out)
             break
         if mode == "manual":
@@ -132,20 +185,9 @@ def play(
             action = KEYMAP.get(raw)
             if action is None:
                 continue
-            state, ts, any_legal = manual_step(
-                state, jnp.asarray([action], jnp.int32)
-            )
-            last_action = action
+            session.step_manual(action)
         else:
-            key, k_act = jax.random.split(key)
-            state, ts, act0, any_legal = auto_step(state, k_act)
-            last_action = int(act0)
+            session.step_auto()
             if delay:
                 time.sleep(delay)
-        moves += 1
-        alive = bool(any_legal) and not bool(ts.done[0])
-    return {
-        "score": int(state.score[0]),
-        "moves": moves,
-        "max_tile": int(board_ops.max_tile_value(state.board[0])),
-    }
+    return session.stats()
