@@ -124,9 +124,19 @@ def legal_moves_mask(board):
 
 
 def is_game_over(board):
-    """True when no action changes the board (Game2048_env.py:65-75)."""
-    _, _, moved = move_all(board)
-    return ~jnp.any(moved, axis=0)
+    """True when no action changes the board (Game2048_env.py:65-75).
+
+    Equivalent to ``~any(move_all(board).moved)`` but O(1) ops instead of
+    four probe merges: a board has a legal move iff it has an empty cell or
+    an adjacent equal pair (if some row mixes empty and nonzero, left/right
+    moves; otherwise every row is all-full or all-empty, so up/down moves
+    tiles between them). Zero-zero "pairs" are subsumed by the empty check.
+    """
+    axes = (-2, -1)
+    has_empty = jnp.any(board == 0, axis=axes)
+    h_pair = jnp.any(board[..., :, :-1] == board[..., :, 1:], axis=axes)
+    v_pair = jnp.any(board[..., :-1, :] == board[..., 1:, :], axis=axes)
+    return ~(has_empty | h_pair | v_pair)
 
 
 def sample_spawn(board, key):

@@ -207,10 +207,22 @@ def _step_kernel(
     # Invalid move: board unchanged (fixed v2 semantics).
     new_cells = [jnp.where(moved, s, c) for s, c in zip(spawned, cells)]
 
-    # Game over on the post-move post-spawn board.
-    _, _, moved2_d = _merge_all(new_cells)
-    any_legal = (moved2_d[0] | moved2_d[1] | moved2_d[2] | moved2_d[3]) != 0
-    done = ~any_legal
+    # Game over on the post-move post-spawn board. A board has a legal
+    # move iff it has an empty cell or an adjacent equal nonzero pair
+    # (if some row mixes empty and nonzero, L/R moves; otherwise every row
+    # is all-full or all-empty, so U/D moves tiles between them) — a ~40-op
+    # check instead of a second full _merge_all (~2x kernel speedup).
+    has_empty = new_cells[0] == 0
+    for c in new_cells[1:]:
+        has_empty = has_empty | (c == 0)
+    pair = None
+    for r in range(4):
+        for c in range(3):
+            i = 4 * r + c
+            h = new_cells[i] == new_cells[i + 1]  # horizontal neighbor
+            v = new_cells[c * 4 + r] == new_cells[c * 4 + r + 4]  # vertical
+            pair = (h | v) if pair is None else (pair | h | v)
+    done = ~(has_empty | pair)
 
     # Terminal stats (pre-reset): max and second-max exponents — feeds
     # max_number and the driver's terminal bonus (mainDQL:202-213).
