@@ -93,6 +93,8 @@ def _add_dqn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--steps-per-chunk", type=int, default=16)
     p.add_argument("--replay-shards", type=int, default=1)
     p.add_argument("--checkpoint-dir", type=str, default=None)
+    p.add_argument("--checkpoint-every", type=int, default=100,
+                   help="full state save every N episodes (mainDQL:324)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint")
     p.add_argument("--prune-on-resume", type=int, default=0,
@@ -157,6 +159,7 @@ def _dqn_config(args):
         train_batch=args.batch,
         steps_per_chunk=args.steps_per_chunk,
         replay_shards=args.replay_shards,
+        checkpoint_episodes=getattr(args, "checkpoint_every", 100),
         rollback=args.rollback,
         prune_on_resume=getattr(args, "prune_on_resume", 0),
         trace_env0=bool(getattr(args, "debug_csv", None)),
