@@ -1,0 +1,70 @@
+"""Aux-subsystem tests: profiling harness, checkify guard, metric loggers.
+
+The reference has none of these (SURVEY.md §5); these cover the new
+framework's tracing/sanitizer/observability tier.
+"""
+
+import csv
+import json
+import math
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu2048.metrics.profiling import annotate, time_fn, trace
+from tpu2048.utils.debug import checked
+
+
+def test_time_fn_measures_jitted_call():
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((64, 64))
+    sec = time_fn(f, x, iters=3, warmup=1)
+    assert 0 < sec < 5.0
+
+
+def test_time_fn_handles_pytree_and_scalar_outputs():
+    f = jax.jit(lambda x: {"a": x * 2, "b": (x.sum(), x + 1)})
+    sec = time_fn(f, jnp.arange(8.0), iters=2)
+    assert sec > 0
+
+
+def test_trace_writes_profile_dir(tmp_path):
+    logdir = tmp_path / "trace"
+    with trace(str(logdir)):
+        with annotate("span"):
+            jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    assert logdir.exists() and any(logdir.rglob("*"))
+
+
+def test_checked_passes_clean_fn():
+    f = checked(jax.jit(lambda x: x * 2.0))
+    assert float(f(jnp.float32(3.0))) == 6.0
+
+
+def test_checked_raises_on_nan():
+    f = checked(jax.jit(lambda x: jnp.log(x)))
+    with pytest.raises(Exception) as e:
+        f(jnp.float32(-1.0))
+    assert "nan" in str(e.value).lower()
+    assert math.isnan(float(jnp.log(jnp.float32(-1.0))))  # unguarded = silent
+
+
+def test_jsonl_and_csv_loggers_roundtrip(tmp_path):
+    from tpu2048.metrics import CSVLogger, JSONLLogger
+
+    jpath = tmp_path / "m.jsonl"
+    jl = JSONLLogger(str(jpath))
+    jl.log({"episodes": 1, "score": 2.5})
+    jl.log({"episodes": 2, "score": 3.5})
+    jl.close()
+    rows = [json.loads(line) for line in jpath.read_text().splitlines()]
+    assert rows[1]["score"] == 3.5
+
+    cpath = tmp_path / "t.csv"
+    cl = CSVLogger(str(cpath), ["a", "b"])
+    cl.log([1, "x"])
+    cl.close()
+    with open(cpath) as fh:
+        got = list(csv.reader(fh))
+    assert got[0] == ["a", "b"] and got[1] == ["1", "x"]

@@ -35,14 +35,30 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def _fence(out) -> None:
+    """Synchronize on ``out`` with a real host transfer.
+
+    ``jax.block_until_ready`` has been observed returning early on
+    tunneled/remote backends (see bench.py); materializing one array leaf
+    on the host is the reliable barrier.
+    """
+    import numpy as np
+
+    jax.block_until_ready(out)
+    leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "shape")]
+    if leaves:
+        first = leaves[0]
+        np.asarray(first[(0,) * first.ndim] if first.ndim else first)
+
+
 def time_fn(fn: Callable, *args, iters: int = 3, warmup: int = 1, **kw):
     """Run ``fn`` with proper device synchronization; return sec/call."""
     out = None
     for _ in range(warmup):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _fence(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _fence(out)
     return (time.perf_counter() - t0) / iters
