@@ -50,6 +50,22 @@ def test_checked_raises_on_nan():
     assert math.isnan(float(jnp.log(jnp.float32(-1.0))))  # unguarded = silent
 
 
+def test_plot_training_renders_png(tmp_path):
+    from tpu2048.metrics.logging import plot_from_jsonl
+
+    jpath = tmp_path / "m.jsonl"
+    rows = [
+        {"episodes": i, "best_tile": 2 ** (4 + i % 3), "mean_score": 100.0 * i,
+         "loss": 10.0 / (i + 1)}
+        for i in range(20)
+    ]
+    jpath.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    out = tmp_path / "plots" / "train.png"
+    plot_from_jsonl(str(jpath), str(out))
+    assert out.exists() and out.stat().st_size > 1000
+    assert out.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
 def test_jsonl_and_csv_loggers_roundtrip(tmp_path):
     from tpu2048.metrics import CSVLogger, JSONLLogger
 

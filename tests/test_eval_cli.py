@@ -106,6 +106,20 @@ def test_cli_dqn_train_eval_plot(tmp_path):
     assert out_png.exists() and out_png.stat().st_size > 1000
 
 
+def test_cli_plot_every_regenerates_during_training(tmp_path):
+    # The reference re-renders its 3-panel PNG every 10 episodes while
+    # training (mainDQL:270-271); --plot-every is that behavior.
+    log = tmp_path / "tab.jsonl"
+    rc = cli_main(
+        ["train", "tabular", "--episodes", "64", "--batch", "32",
+         "--capacity-log2", "14", "--steps-per-chunk", "32",
+         "--log", str(log), "--plot-every", "1"]
+    )
+    assert rc == 0
+    png = tmp_path / "tab.png"
+    assert png.exists() and png.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
 def test_cli_eval_model_requires_checkpoint(capsys):
     rc = cli_main(["eval", "--policy", "model", "--games", "4"])
     assert rc == 2

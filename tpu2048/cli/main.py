@@ -64,6 +64,9 @@ def _add_tabular_args(p: argparse.ArgumentParser) -> None:
                    help="Q-table slots = 2**N")
     p.add_argument("--reward", choices=["shaped", "simple"], default="shaped")
     p.add_argument("--steps-per-chunk", type=int, default=256)
+    p.add_argument("--plot-every", type=int, default=0,
+                   help="regenerate the 3-panel training plot every N "
+                        "episodes (reference: 10, mainDQL:270; 0 = off)")
     p.add_argument("--log", type=str, default=None, help="JSONL metrics path")
     p.add_argument("--seed", type=int, default=0)
 
@@ -102,6 +105,9 @@ def _add_dqn_args(p: argparse.ArgumentParser) -> None:
                         "(reference load_memory pruned 99)")
     p.add_argument("--rollback", action="store_true",
                    help="enable the block rollback-on-regression policy")
+    p.add_argument("--plot-every", type=int, default=0,
+                   help="regenerate the 3-panel training plot every N "
+                        "episodes (reference: 10, mainDQL:270; 0 = off)")
     p.add_argument("--debug-csv", type=str, default=None,
                    help="per-step CSV trace of env 0 (reference debug log)")
     p.add_argument("--log", type=str, default=None)
@@ -171,11 +177,29 @@ def cmd_train(args) -> int:
     from tpu2048.metrics import JSONLLogger
 
     logger = JSONLLogger(args.log)
+    log_fn = logger.log
+    plot_every = getattr(args, "plot_every", 0)
+    if plot_every and args.log:
+        # The reference regenerates its 3-panel PNG during training every
+        # 10 episodes (mainDQL:270-271); here it is an opt-in log_fn hook
+        # so matplotlib stays out of the training library.
+        from tpu2048.metrics.logging import plot_training
+
+        out_png = os.path.splitext(args.log)[0] + ".png"
+        rows, last_plot = [], [0]
+
+        def log_fn(row, _log=logger.log):  # noqa: F811
+            _log(row)
+            rows.append(row)
+            if row.get("episodes", 0) >= last_plot[0] + plot_every:
+                last_plot[0] = row["episodes"]
+                plot_training(rows, out_png)
+
     try:
         if args.algo == "tabular":
             from tpu2048.training.tabular import train
 
-            train(_tabular_config(args), log_fn=logger.log)
+            train(_tabular_config(args), log_fn=log_fn)
         else:
             from tpu2048.training.dqn import train
 
@@ -200,7 +224,7 @@ def cmd_train(args) -> int:
             train(
                 _dqn_config(args),
                 total_episodes=args.episodes,
-                log_fn=logger.log,
+                log_fn=log_fn,
                 ckpt_manager=mgr,
                 resume=args.resume,
                 trace_fn=trace_fn,
