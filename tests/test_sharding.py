@@ -150,3 +150,51 @@ def test_param_partition_spec_tp():
     assert all(
         spec == P() for name, spec in sharded.items() if "head" in name
     )
+
+
+def test_train_loop_with_mesh_end_to_end(tmp_path):
+    """The host `train()` loop itself accepts a mesh: state is placed on
+    (data=4, model=2), every jit pins in/out shardings, checkpoints
+    restore into the sharded template, and training advances."""
+    from tpu2048.checkpoint import CheckpointManager
+    from tpu2048.training.dqn import train
+
+    mesh = create_mesh(
+        MeshConfig(data_parallel=4, model_parallel=2),
+        devices=jax.devices()[:8],
+    )
+    config = tiny_config(shards=4)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    logs = train(
+        dataclasses_replace_episodes(config),
+        total_episodes=10,
+        ckpt_manager=mgr,
+        mesh=mesh,
+        model_parallel=2,
+    )
+    assert logs and logs[-1]["episodes"] >= 10
+    mgr.wait()
+    assert mgr.latest_step() is not None
+
+    # Sharded resume: restore into the sharded template and continue.
+    logs2 = train(
+        dataclasses_replace_episodes(config),
+        total_episodes=logs[-1]["episodes"] + 5,
+        ckpt_manager=mgr,
+        resume=True,
+        mesh=mesh,
+        model_parallel=2,
+    )
+    assert logs2[-1]["episodes"] > logs[-1]["episodes"]
+    assert logs2[-1]["env_steps"] > logs[-1]["env_steps"]
+    mgr.close()
+
+
+def dataclasses_replace_episodes(config):
+    import dataclasses as _dc
+
+    # frequent periodic ops so the sharded sync/prune/checkpoint jits run
+    return _dc.replace(
+        config, target_sync_episodes=4, prune_episodes=6,
+        checkpoint_episodes=8,
+    )

@@ -95,6 +95,15 @@ def _add_dqn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-bf16", action="store_true")
     p.add_argument("--steps-per-chunk", type=int, default=16)
     p.add_argument("--replay-shards", type=int, default=1)
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="shard envs/replay/batch over N mesh devices")
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="tensor-parallel CNN sharding over N mesh devices")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="multi-host coordinator address host:port "
+                        "(jax.distributed.initialize)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--checkpoint-dir", type=str, default=None)
     p.add_argument("--checkpoint-every", type=int, default=100,
                    help="full state save every N episodes (mainDQL:324)")
@@ -174,6 +183,16 @@ def _dqn_config(args):
 
 
 def cmd_train(args) -> int:
+    if getattr(args, "coordinator", None):
+        # Multi-host bring-up must precede logger construction so the
+        # host-0 gating in JSONLLogger sees the right process_index.
+        from tpu2048.parallel import distributed_init
+
+        distributed_init(
+            args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     from tpu2048.metrics import JSONLLogger
 
     logger = JSONLLogger(args.log)
@@ -221,6 +240,19 @@ def cmd_train(args) -> int:
                      "Total Reward", "State", "Done", "Ho salvato", "Mosse"],
                 )
                 trace_fn = trace_logger.log
+            mesh = None
+            dp = getattr(args, "data_parallel", 1)
+            mp = getattr(args, "model_parallel", 1)
+            if dp * mp > 1:
+                from tpu2048.parallel import MeshConfig, create_mesh
+
+                mesh = create_mesh(
+                    MeshConfig(data_parallel=dp, model_parallel=mp)
+                )
+                if dp > 1 and args.replay_shards % dp != 0:
+                    # Replay shards live on the data axis; one shard per
+                    # data-parallel device keeps transitions device-local.
+                    args.replay_shards = dp
             train(
                 _dqn_config(args),
                 total_episodes=args.episodes,
@@ -228,6 +260,8 @@ def cmd_train(args) -> int:
                 ckpt_manager=mgr,
                 resume=args.resume,
                 trace_fn=trace_fn,
+                mesh=mesh,
+                model_parallel=mp,
             )
             if mgr:
                 mgr.close()

@@ -266,6 +266,8 @@ def train(
     ckpt_manager=None,
     resume: bool = False,
     trace_fn: Optional[Callable[[list], None]] = None,
+    mesh=None,
+    model_parallel: int = 1,
 ) -> List[dict]:
     """Host loop with the reference's periodic-op cadence.
 
@@ -287,6 +289,15 @@ def train(
     tx = dqnlib.make_optimizer(config.agent)
     if state is None or model is None:
         model, state = init_loop_state(config)
+    shardings = None
+    if mesh is not None:
+        # Multi-device: place the loop state on the (data, model) mesh
+        # BEFORE any restore so the Orbax template carries shardings and
+        # the restored arrays come back distributed.
+        from tpu2048.parallel import dqn_loop_sharding, place_loop_state
+
+        shardings = dqn_loop_sharding(state, mesh, model_parallel)
+        state = place_loop_state(state, shardings)
     if ckpt_manager is not None and resume:
         latest = ckpt_manager.latest_step()
         if latest is not None:
@@ -298,15 +309,41 @@ def train(
                 state = state.replace(
                     buffer=replaylib.sharded_prune(state.buffer, per_shard)
                 )
+    # With a mesh, pin in/out shardings on every jit whose output feeds
+    # back into the loop state: the compiler may otherwise pick layouts
+    # that disagree with the chunk's declared in_shardings on the next
+    # call (see tpu2048/parallel/testkit.py for the same rule).
     chunk = jax.jit(
-        lambda s: train_chunk(config, model, tx, s), donate_argnums=0
+        lambda s: train_chunk(config, model, tx, s),
+        donate_argnums=0,
+        **(
+            dict(in_shardings=(shardings,),
+                 out_shardings=(shardings, None, None))
+            if shardings is not None
+            else {}
+        ),
     )
     prune_per_shard = max(1, config.prune_n // config.replay_shards)
     prune = jax.jit(
         lambda buf: replaylib.sharded_prune(buf, prune_per_shard),
         donate_argnums=0,
+        **(
+            dict(in_shardings=(shardings.buffer,),
+                 out_shardings=shardings.buffer)
+            if shardings is not None
+            else {}
+        ),
     )
-    sync = jax.jit(dqnlib.update_target, donate_argnums=0)
+    sync = jax.jit(
+        dqnlib.update_target,
+        donate_argnums=0,
+        **(
+            dict(in_shardings=(shardings.agent,),
+                 out_shardings=shardings.agent)
+            if shardings is not None
+            else {}
+        ),
+    )
 
     logs: List[dict] = []
     start_ep = int(state.episodes_done)
