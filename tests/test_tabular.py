@@ -174,3 +174,36 @@ def test_tabular_training_chunk_learns():
     assert int(jnp.sum(state.action_counts)) == int(state.env_steps)
     # Q-values were actually written.
     assert float(jnp.sum(jnp.abs(state.table.q))) > 0
+
+
+def test_qtable_save_load_and_cli_tabular_eval(tmp_path):
+    """Q-table persistence + `eval --policy tabular` (the reference had NO
+    tabular persistence: the dict table died with the process)."""
+    import contextlib
+    import io
+    import json
+
+    from tpu2048.cli.main import main as cli_main
+
+    table_path = tmp_path / "q.npz"
+    rc = cli_main(
+        ["train", "tabular", "--episodes", "64", "--batch", "32",
+         "--capacity-log2", "14", "--steps-per-chunk", "32",
+         "--save", str(table_path)]
+    )
+    assert rc == 0 and table_path.exists()
+
+    from tpu2048.agents.tabular import load_qtable
+
+    table = load_qtable(str(table_path))
+    assert int(table.occupied.sum()) > 0
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(
+            ["eval", "--policy", "tabular", "--table", str(table_path),
+             "--games", "8", "--eval-batch", "8"]
+        )
+    assert rc == 0
+    summary = json.loads(buf.getvalue())
+    assert summary["games"] == 8 and summary["score_mean"] > 0

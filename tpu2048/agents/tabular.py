@@ -219,3 +219,39 @@ def epsilon_for_epoch(epoch, config: TabularConfig):
     eps = jnp.where(k3 > 0, jnp.maximum(emin, eps - slow2 * k3), eps)
     eps = jnp.where(epoch > n3, emin, eps)
     return eps
+
+
+def save_qtable(path: str, table: QTable) -> None:
+    """Persist the Q-table as one compressed .npz.
+
+    The reference never persisted its tabular agent — the dict Q-table
+    died with the process (QLearningBase/Agent/main.py has no save path);
+    only CSV debug logs survived a run. Saving enables `eval --policy
+    tabular` on a trained table.
+    """
+    import os
+
+    import numpy as np
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez_compressed(
+        path,
+        key_lo=np.asarray(table.key_lo),
+        key_hi=np.asarray(table.key_hi),
+        occupied=np.asarray(table.occupied),
+        q=np.asarray(table.q),
+        dropped=np.asarray(table.dropped),
+    )
+
+
+def load_qtable(path: str) -> QTable:
+    import numpy as np
+
+    with np.load(path) as z:
+        return QTable(
+            key_lo=jnp.asarray(z["key_lo"]),
+            key_hi=jnp.asarray(z["key_hi"]),
+            occupied=jnp.asarray(z["occupied"]),
+            q=jnp.asarray(z["q"]),
+            dropped=jnp.asarray(z["dropped"]),
+        )

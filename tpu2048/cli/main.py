@@ -67,6 +67,8 @@ def _add_tabular_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--plot-every", type=int, default=0,
                    help="regenerate the 3-panel training plot every N "
                         "episodes (reference: 10, mainDQL:270; 0 = off)")
+    p.add_argument("--save", type=str, default=None,
+                   help="write the trained Q-table as .npz")
     p.add_argument("--log", type=str, default=None, help="JSONL metrics path")
     p.add_argument("--seed", type=int, default=0)
 
@@ -218,7 +220,11 @@ def cmd_train(args) -> int:
         if args.algo == "tabular":
             from tpu2048.training.tabular import train
 
-            train(_tabular_config(args), log_fn=log_fn)
+            train(
+                _tabular_config(args),
+                log_fn=log_fn,
+                save_path=getattr(args, "save", None),
+            )
         else:
             from tpu2048.training.dqn import train
 
@@ -279,6 +285,14 @@ def cmd_eval(args) -> int:
 
     if args.policy == "random":
         policy = random_legal_policy()
+    elif args.policy == "tabular":
+        if not args.table:
+            print("--table required for --policy tabular", file=sys.stderr)
+            return 2
+        from tpu2048.agents.tabular import load_qtable
+        from tpu2048.eval import greedy_tabular_policy
+
+        policy = greedy_tabular_policy(load_qtable(args.table))
     elif args.policy == "model":
         if not args.checkpoint_dir:
             print("--checkpoint-dir required for --policy model", file=sys.stderr)
@@ -383,7 +397,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     pe = sub.add_parser("eval", help="batched greedy/random evaluation")
     _add_dqn_args(pe)
-    pe.add_argument("--policy", choices=["random", "model"], default="random")
+    pe.add_argument("--policy", choices=["random", "model", "tabular"],
+                    default="random")
+    pe.add_argument("--table", type=str, default=None,
+                    help="Q-table .npz for --policy tabular")
     pe.add_argument("--games", type=int, default=512)
     pe.add_argument("--eval-batch", type=int, default=512)
     pe.add_argument("--step", type=int, default=None)

@@ -131,10 +131,13 @@ def _episode_score(st: TabularTrainState, ts) -> jax.Array:
 def train(
     config: TabularTrainConfig,
     log_fn: Optional[Callable[[dict], None]] = None,
+    save_path: Optional[str] = None,
 ) -> List[dict]:
     """Host loop: run jitted chunks until ``total_episodes`` finish.
 
     Returns the list of per-chunk metric dicts (also passed to ``log_fn``).
+    With ``save_path`` the final Q-table is written as .npz (the reference
+    had no tabular persistence at all; see agents/tabular.save_qtable).
     """
     chunk = jax.jit(lambda s: train_chunk(config, s))
     state = init_train_state(config)
@@ -170,4 +173,6 @@ def train(
         logs.append(row)
         if log_fn:
             log_fn(row)
+    if save_path:
+        tab.save_qtable(save_path, state.table)
     return logs
