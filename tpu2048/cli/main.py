@@ -328,6 +328,11 @@ def _demo_policy(args):
     """Load the greedy model policy for demo/gui model mode (or None)."""
     if args.mode != "model":
         return None
+    if getattr(args, "table", None):
+        from tpu2048.agents.tabular import load_qtable
+        from tpu2048.eval import greedy_tabular_policy
+
+        return greedy_tabular_policy(load_qtable(args.table))
     from tpu2048.checkpoint import CheckpointManager
     from tpu2048.eval import greedy_dqn_policy
     from tpu2048.training.dqn import init_loop_state
@@ -408,6 +413,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     pd = sub.add_parser("demo", help="terminal play: manual/random/model")
     _add_dqn_args(pd)
+    pd.add_argument("--table", type=str, default=None,
+                    help="play a trained tabular Q-table instead of a DQN")
     pd.add_argument("--mode", choices=["manual", "random", "model"],
                     default="manual")
     pd.add_argument("--delay", type=float, default=0.5)
@@ -416,6 +423,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     pg = sub.add_parser("gui", help="Tkinter play: manual/random/model")
     _add_dqn_args(pg)
+    pg.add_argument("--table", type=str, default=None,
+                    help="play a trained tabular Q-table instead of a DQN")
     pg.add_argument("--mode", choices=["manual", "random", "model"],
                     default="manual")
     pg.add_argument("--delay", type=float, default=0.5)

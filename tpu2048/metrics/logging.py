@@ -36,7 +36,9 @@ class JSONLLogger:
         self.enabled = _is_primary()
         if self.enabled and path:
             os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-            # Truncate on open (a resumed run appends via mode="a" callers).
+            # Append mode: a resumed run continues the same metrics file
+            # (the reference resumes its plot arrays the same way,
+            # Dqn8:475-487).
             self._fh = open(path, "a", buffering=1)
         else:
             self._fh = None
