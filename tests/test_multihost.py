@@ -69,10 +69,18 @@ def test_two_process_distributed_train_chunk(tmp_path):
         )
         for pid in range(2)
     ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=540)
-        outs.append(out)
+    # Drain both pipes concurrently: sequential communicate() can
+    # deadlock if the not-yet-drained worker fills its 64KB stdout pipe
+    # mid-collective and stalls the one being waited on.
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(2) as pool:
+        outs = [
+            f.result()[0]
+            for f in [
+                pool.submit(p.communicate, timeout=540) for p in procs
+            ]
+        ]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
 

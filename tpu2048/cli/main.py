@@ -200,21 +200,25 @@ def cmd_train(args) -> int:
     logger = JSONLLogger(args.log)
     log_fn = logger.log
     plot_every = getattr(args, "plot_every", 0)
-    if plot_every and args.log:
+    if plot_every and not args.log:
+        print("--plot-every requires --log (plots render from the JSONL "
+              "rows); ignoring", file=sys.stderr)
+    if plot_every and args.log and logger.enabled:
         # The reference regenerates its 3-panel PNG during training every
         # 10 episodes (mainDQL:270-271); here it is an opt-in log_fn hook
-        # so matplotlib stays out of the training library.
-        from tpu2048.metrics.logging import plot_training
+        # so matplotlib stays out of the training library. Host-0 only
+        # (logger.enabled), and re-read from the JSONL file so a resumed
+        # run's plot keeps its pre-resume history.
+        from tpu2048.metrics.logging import plot_from_jsonl
 
         out_png = os.path.splitext(args.log)[0] + ".png"
-        rows, last_plot = [], [0]
+        last_plot = [0]
 
         def log_fn(row, _log=logger.log):  # noqa: F811
             _log(row)
-            rows.append(row)
             if row.get("episodes", 0) >= last_plot[0] + plot_every:
                 last_plot[0] = row["episodes"]
-                plot_training(rows, out_png)
+                plot_from_jsonl(args.log, out_png)
 
     try:
         if args.algo == "tabular":
@@ -228,6 +232,19 @@ def cmd_train(args) -> int:
         else:
             from tpu2048.training.dqn import train
 
+            dp = getattr(args, "data_parallel", 1)
+            if dp > 1 and args.replay_shards % dp != 0:
+                if args.replay_shards != 1:
+                    print(
+                        f"--replay-shards {args.replay_shards} must be a "
+                        f"multiple of --data-parallel {dp}", file=sys.stderr
+                    )
+                    return 2
+                # Replay shards live on the data axis; one shard per
+                # data-parallel device keeps transitions device-local.
+                # This must happen BEFORE _save_run_config so eval/demo
+                # rebuild the same buffer shape from config.json.
+                args.replay_shards = dp
             mgr = None
             if args.checkpoint_dir:
                 from tpu2048.checkpoint import CheckpointManager
@@ -247,7 +264,6 @@ def cmd_train(args) -> int:
                 )
                 trace_fn = trace_logger.log
             mesh = None
-            dp = getattr(args, "data_parallel", 1)
             mp = getattr(args, "model_parallel", 1)
             if dp * mp > 1:
                 from tpu2048.parallel import MeshConfig, create_mesh
@@ -255,10 +271,6 @@ def cmd_train(args) -> int:
                 mesh = create_mesh(
                     MeshConfig(data_parallel=dp, model_parallel=mp)
                 )
-                if dp > 1 and args.replay_shards % dp != 0:
-                    # Replay shards live on the data axis; one shard per
-                    # data-parallel device keeps transitions device-local.
-                    args.replay_shards = dp
             train(
                 _dqn_config(args),
                 total_episodes=args.episodes,
@@ -289,10 +301,7 @@ def cmd_eval(args) -> int:
         if not args.table:
             print("--table required for --policy tabular", file=sys.stderr)
             return 2
-        from tpu2048.agents.tabular import load_qtable
-        from tpu2048.eval import greedy_tabular_policy
-
-        policy = greedy_tabular_policy(load_qtable(args.table))
+        policy = _tabular_policy(args.table)
     elif args.policy == "model":
         if not args.checkpoint_dir:
             print("--checkpoint-dir required for --policy model", file=sys.stderr)
@@ -324,15 +333,24 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def _tabular_policy(table_path: str):
+    from tpu2048.agents.tabular import load_qtable
+    from tpu2048.eval import greedy_tabular_policy
+
+    return greedy_tabular_policy(load_qtable(table_path))
+
+
 def _demo_policy(args):
     """Load the greedy model policy for demo/gui model mode (or None)."""
     if args.mode != "model":
         return None
     if getattr(args, "table", None):
-        from tpu2048.agents.tabular import load_qtable
-        from tpu2048.eval import greedy_tabular_policy
-
-        return greedy_tabular_policy(load_qtable(args.table))
+        return _tabular_policy(args.table)
+    if not args.checkpoint_dir:
+        raise SystemExit(
+            "--mode model requires --checkpoint-dir (a trained DQN) or "
+            "--table (a trained tabular Q-table)"
+        )
     from tpu2048.checkpoint import CheckpointManager
     from tpu2048.eval import greedy_dqn_policy
     from tpu2048.training.dqn import init_loop_state

@@ -7,9 +7,10 @@ virtual mesh and (b) a real multi-process `jax.distributed` runtime, and
 returns a process-topology-independent digest for equality assertions.
 
 Multi-process-safe by construction: the loop state is materialized
-INSIDE jit via ``out_shardings`` (no host→global-device transfers), and
-digest scalars are read from fully-replicated outputs through
-``addressable_data(0)``.
+INSIDE jit via ``out_shardings`` (skipping a host round-trip; plain
+``place_loop_state``/``device_put`` also works under multi-controller —
+the production train() path uses it), and digest scalars are read from
+fully-replicated outputs through ``addressable_data(0)``.
 """
 
 from __future__ import annotations

@@ -313,36 +313,26 @@ def train(
     # back into the loop state: the compiler may otherwise pick layouts
     # that disagree with the chunk's declared in_shardings on the next
     # call (see tpu2048/parallel/testkit.py for the same rule).
+    def pin(in_sh, out_sh):
+        if shardings is None:
+            return {}
+        return dict(in_shardings=(in_sh,), out_shardings=out_sh)
+
     chunk = jax.jit(
         lambda s: train_chunk(config, model, tx, s),
         donate_argnums=0,
-        **(
-            dict(in_shardings=(shardings,),
-                 out_shardings=(shardings, None, None))
-            if shardings is not None
-            else {}
-        ),
+        **pin(shardings, (shardings, None, None)),
     )
     prune_per_shard = max(1, config.prune_n // config.replay_shards)
     prune = jax.jit(
         lambda buf: replaylib.sharded_prune(buf, prune_per_shard),
         donate_argnums=0,
-        **(
-            dict(in_shardings=(shardings.buffer,),
-                 out_shardings=shardings.buffer)
-            if shardings is not None
-            else {}
-        ),
+        **pin(shardings.buffer if shardings else None, shardings.buffer if shardings else None),
     )
     sync = jax.jit(
         dqnlib.update_target,
         donate_argnums=0,
-        **(
-            dict(in_shardings=(shardings.agent,),
-                 out_shardings=shardings.agent)
-            if shardings is not None
-            else {}
-        ),
+        **pin(shardings.agent if shardings else None, shardings.agent if shardings else None),
     )
 
     logs: List[dict] = []
