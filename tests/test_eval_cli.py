@@ -197,3 +197,29 @@ def test_cli_has_gui_subcommand():
     parser = build_parser()
     args = parser.parse_args(["gui", "--mode", "random", "--delay", "0.1"])
     assert args.mode == "random" and args.fn.__name__ == "cmd_gui"
+
+
+def test_demo_model_mode_requires_source(capsys):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="--mode model requires"):
+        cli_main(["demo", "--mode", "model", "--delay", "0"])
+
+
+def test_demo_table_policy_plays(tmp_path):
+    """demo --table: a trained tabular Q-table drives model mode."""
+    table_path = tmp_path / "q.npz"
+    rc = cli_main(
+        ["train", "tabular", "--episodes", "32", "--batch", "16",
+         "--capacity-log2", "12", "--steps-per-chunk", "16",
+         "--save", str(table_path)]
+    )
+    assert rc == 0
+
+    from tpu2048.cli.main import _tabular_policy
+    from tpu2048.eval.demo import GameSession
+
+    session = GameSession(mode="model", policy=_tabular_policy(str(table_path)))
+    for _ in range(12):
+        session.step_auto()
+    assert session.moves > 0 and session.score >= 0
