@@ -96,11 +96,51 @@ class CheckpointManager:
         self._named.close()
 
 
-def abstract_like(state: Any) -> Any:
-    """ShapeDtypeStruct template for restoring without a concrete state."""
+def abstract_like(state: Any, device=None) -> Any:
+    """ShapeDtypeStruct template for restoring without a concrete state.
+
+    With ``device``, every leaf is annotated with a single-device sharding
+    so Orbax materializes the restore THERE (e.g. host CPU) instead of on
+    the default accelerator.
+    """
+    sharding = (
+        jax.sharding.SingleDeviceSharding(device) if device is not None
+        else None
+    )
     return jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
         if hasattr(x, "shape")
         else x,
         state,
     )
+
+
+def restore_params_only(directory: str, step: Optional[int], config) -> Any:
+    """Restore just the online-network params from a full-state checkpoint.
+
+    ``eval``/``demo`` only need the CNN weights, but a step checkpoint
+    holds the whole ~2 GB loop state (replay buffer included). Through a
+    tunneled TPU runtime, materializing the template and the restore on
+    the accelerator moves ~4 GB over the link; this path instead (a)
+    builds a zero-compute abstract template via ``jax.eval_shape``, (b)
+    restores the whole tree onto HOST CPU from local disk, and (c) ships
+    only the params to the accelerator.
+
+    Returns ``(step, params_on_default_device)``.
+    """
+    from tpu2048.training.dqn import init_loop_state  # noqa: PLC0415
+
+    mgr = CheckpointManager(directory)
+    try:
+        if step is None:
+            step = mgr.latest_step()
+        if step is None:
+            return None, None
+        cpu = jax.devices("cpu")[0]
+        template = abstract_like(
+            jax.eval_shape(lambda: init_loop_state(config)[1]), device=cpu
+        )
+        state = mgr.restore(step, template)
+    finally:
+        mgr.close()
+    return step, jax.device_put(state.agent.params)

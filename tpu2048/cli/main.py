@@ -306,19 +306,19 @@ def cmd_eval(args) -> int:
         if not args.checkpoint_dir:
             print("--checkpoint-dir required for --policy model", file=sys.stderr)
             return 2
-        from tpu2048.checkpoint import CheckpointManager
-        from tpu2048.training.dqn import init_loop_state
+        from tpu2048.checkpoint import restore_params_only
+        from tpu2048.models.dqn import create_model
 
         args = _load_run_config(args, args.checkpoint_dir)
         cfg = _dqn_config(args)
-        model, template = init_loop_state(cfg)
-        mgr = CheckpointManager(args.checkpoint_dir)
-        step = args.step if args.step is not None else mgr.latest_step()
-        if step is None:
+        step, params = restore_params_only(
+            args.checkpoint_dir, args.step, cfg
+        )
+        if params is None:
             print("no checkpoint found", file=sys.stderr)
             return 2
-        state = mgr.restore(step, template)
-        policy = greedy_dqn_policy(model, state.agent.params)
+        model = create_model(cfg.agent)
+        policy = greedy_dqn_policy(model, params)
     else:
         print(f"unknown policy {args.policy}", file=sys.stderr)
         return 2
@@ -351,17 +351,17 @@ def _demo_policy(args):
             "--mode model requires --checkpoint-dir (a trained DQN) or "
             "--table (a trained tabular Q-table)"
         )
-    from tpu2048.checkpoint import CheckpointManager
+    from tpu2048.checkpoint import restore_params_only
     from tpu2048.eval import greedy_dqn_policy
-    from tpu2048.training.dqn import init_loop_state
+    from tpu2048.models.dqn import create_model
 
     args = _load_run_config(args, args.checkpoint_dir)
     cfg = _dqn_config(args)
-    model, template = init_loop_state(cfg)
-    mgr = CheckpointManager(args.checkpoint_dir)
-    step = args.step if args.step is not None else mgr.latest_step()
-    state = mgr.restore(step, template)
-    return greedy_dqn_policy(model, state.agent.params)
+    step, params = restore_params_only(args.checkpoint_dir, args.step, cfg)
+    if params is None:
+        raise SystemExit(f"no checkpoint found in {args.checkpoint_dir}")
+    model = create_model(cfg.agent)
+    return greedy_dqn_policy(model, params)
 
 
 def cmd_demo(args) -> int:

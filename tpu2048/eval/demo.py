@@ -103,13 +103,22 @@ class GameSession:
             st, ts = envlib.step(config, st, action)
             return st, ts.done[0], jnp.any(ts.legal_mask[0])
 
+        if policy is not None:
+            from tpu2048.eval.evaluate import as_policy
+
+            policy = as_policy(policy)
+
         @jax.jit
-        def _auto_step(st, k):
+        def _auto_step(params, st, k):
+            # Weights are a jit ARGUMENT (not a closure constant): see
+            # evaluate.Policy — closed-over CNN params blow the remote
+            # compile-request size limit on tunneled TPU runtimes.
             legal = board_ops.legal_moves_mask(st.board)
-            actions = policy(st.board, legal, k)
+            actions = policy.fn(params, st.board, legal, k)
             st, ts = envlib.step(config, st, actions)
             return st, actions[0], ts.done[0], jnp.any(ts.legal_mask[0])
 
+        self._policy = policy
         self._manual_step = _manual_step
         self._auto_step = _auto_step
         self._key = jax.random.PRNGKey(seed)
@@ -136,7 +145,9 @@ class GameSession:
     def step_auto(self) -> int:
         """One policy-driven move (random/model modes); returns the action."""
         self._key, k_act = jax.random.split(self._key)
-        self.state, act0, done, any_legal = self._auto_step(self.state, k_act)
+        self.state, act0, done, any_legal = self._auto_step(
+            self._policy.params, self.state, k_act
+        )
         self.last_action = int(act0)
         self.moves += 1
         self.alive = bool(any_legal) and not bool(done)

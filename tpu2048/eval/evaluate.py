@@ -25,35 +25,60 @@ from tpu2048.ops import board as board_ops
 PolicyFn = Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
 
 
-def random_legal_policy() -> PolicyFn:
+@dataclasses.dataclass
+class Policy:
+    """A policy = a pure fn plus the weights it needs.
+
+    Weights are threaded through jit as ARGUMENTS, never closed over:
+    closure constants get inlined into the compiled program, and a 387 MB
+    CNN baked into the HLO blows the remote-compile request limit of a
+    tunneled TPU runtime (observed: HTTP 413 on the eval chunk) — besides
+    forcing a recompile per checkpoint.
+    """
+
+    fn: Callable  # (params, boards, legal_mask, key) -> actions
+    params: object = ()
+
+    def __call__(self, boards, legal_mask, key):
+        return self.fn(self.params, boards, legal_mask, key)
+
+
+def as_policy(policy) -> Policy:
+    """Wrap a bare ``(boards, mask, key)`` callable (no weights)."""
+    if isinstance(policy, Policy):
+        return policy
+    return Policy(fn=lambda p, b, m, k: policy(b, m, k), params=())
+
+
+def random_legal_policy() -> Policy:
     """Uniform over legal moves (GameDemo random mode, GameDemo.py:272-285)."""
 
-    def policy(boards, legal_mask, key):
+    def policy(params, boards, legal_mask, key):
         logits = jnp.where(legal_mask, 0.0, -1e9)
         return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
-    return policy
+    return Policy(fn=policy)
 
 
-def greedy_dqn_policy(model, params) -> PolicyFn:
+def greedy_dqn_policy(model, params) -> Policy:
     """Argmax of Q over legal moves (GameDemo.py:288-316)."""
 
-    def policy(boards, legal_mask, key):
-        q = model.apply({"params": params}, boards, train=False)
+    def policy(p, boards, legal_mask, key):
+        q = model.apply({"params": p}, boards, train=False)
         q_legal = jnp.where(legal_mask, q, -jnp.inf)
         has_legal = jnp.any(legal_mask, axis=-1)
         return jnp.where(
             has_legal, jnp.argmax(q_legal, axis=-1), jnp.argmax(q, axis=-1)
         ).astype(jnp.int32)
 
-    return policy
+    return Policy(fn=policy, params=params)
 
 
-def greedy_tabular_policy(table) -> PolicyFn:
+def greedy_tabular_policy(table) -> Policy:
     """Argmax of the hashed Q-table, restricted to legal moves."""
     from tpu2048.agents import tabular as tab
 
-    def policy(boards, legal_mask, key):
+    def policy(table, boards, legal_mask, key):
         q = tab.qtable_lookup(table, boards)
         q_legal = jnp.where(legal_mask, q, -jnp.inf)
         has_legal = jnp.any(legal_mask, axis=-1)
@@ -61,7 +86,7 @@ def greedy_tabular_policy(table) -> PolicyFn:
             has_legal, jnp.argmax(q_legal, axis=-1), jnp.argmax(q, axis=-1)
         ).astype(jnp.int32)
 
-    return policy
+    return Policy(fn=policy, params=table)
 
 
 @dataclasses.dataclass
@@ -107,11 +132,13 @@ def evaluate(
     # (especially through a remote TPU tunnel).
     steps_per_call = 32
 
-    def chunk(state, carry, key):
+    policy = as_policy(policy)
+
+    def chunk(params, state, carry, key):
         def body(c, k):
             state, done, fs, ft, fl = c
             legal = board_ops.legal_moves_mask(state.board)
-            actions = policy(state.board, legal, k)
+            actions = policy.fn(params, state.board, legal, k)
             state, ts = envlib.step(env_config, state, actions)
             newly = ts.done & ~done
             fs = jnp.where(newly, state.score, fs)
@@ -139,7 +166,8 @@ def evaluate(
         for _ in range(max_steps // steps_per_call + 1):
             key, k = jax.random.split(key)
             state, (done, final_score, final_tile, final_len) = chunk(
-                state, (done, final_score, final_tile, final_len), k
+                policy.params, state,
+                (done, final_score, final_tile, final_len), k,
             )
             if bool(done.all()):
                 break
