@@ -136,7 +136,26 @@ def step(config: EnvConfig, state: EnvState, action) -> Tuple[EnvState, TimeStep
     state = state.replace(rng=new_rng)
 
     merged, merge_score, valid = _apply_action(state.board, action)
-    spawn_idx, spawn_val = jax.vmap(board_ops.sample_spawn)(merged, step_keys)
+    if config.reward == SIMPLE and config.quirk_compat:
+        # In quirk mode the spawn can land on the probe board (the
+        # is_game_over clobber branch, nopenalty:68-78), whose empty count
+        # differs from ``merged``'s — draw the spawn index from the board
+        # actually spawned onto, else a full-but-playable board collapses
+        # to a first-empty bias instead of uniform-over-empties.
+        pre_legal = board_ops.legal_moves_mask(state.board)
+        game_over = ~jnp.any(pre_legal, axis=-1)
+        full = ~jnp.any(state.board == 0, axis=(-1, -2))
+        clobber = full & ~game_over
+        first_legal = jnp.argmax(pre_legal, axis=-1)
+        probe_b, _, _ = _apply_action(state.board, first_legal)
+        visible = jnp.where(clobber[:, None, None], probe_b, merged)
+        spawn_idx, spawn_val = jax.vmap(board_ops.sample_spawn)(
+            visible, step_keys
+        )
+    else:
+        spawn_idx, spawn_val = jax.vmap(board_ops.sample_spawn)(
+            merged, step_keys
+        )
     new_state, ts = step_with_spawn(
         config, state, action, spawn_idx, spawn_val,
         _precomputed=(merged, merge_score, valid),

@@ -94,6 +94,12 @@ class EvalResult:
     scores: np.ndarray  # (N,) final episode merge scores
     max_tiles: np.ndarray  # (N,) final max tile values
     lengths: np.ndarray  # (N,) episode lengths
+    # (4,) total L/U/R/D actions over live steps — the reference's headline
+    # tabular result table is per-action counts
+    # (QLearningBase/plots/summary_statistics_cleaned.csv columns L/U/R/D).
+    action_counts: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(4, np.int64)
+    )
 
     @property
     def tile_distribution(self) -> Dict[int, int]:
@@ -101,6 +107,7 @@ class EvalResult:
         return {int(v): int(c) for v, c in zip(vals, counts)}
 
     def summary(self) -> dict:
+        total_actions = max(int(self.action_counts.sum()), 1)
         return {
             "games": int(len(self.scores)),
             "score_mean": float(self.scores.mean()),
@@ -110,6 +117,16 @@ class EvalResult:
             "max_tile_distribution": self.tile_distribution,
             "best_tile": int(self.max_tiles.max()),
             "win_rate_2048": float((self.max_tiles >= 2048).mean()),
+            # Per-action totals + fractions, keyed the reference's way
+            # (L/U/R/D — the ~70% left-bias finding reads off these).
+            "action_counts": {
+                k: int(c)
+                for k, c in zip("LURD", self.action_counts)
+            },
+            "action_fractions": {
+                k: round(float(c) / total_actions, 4)
+                for k, c in zip("LURD", self.action_counts)
+            },
         }
 
 
@@ -136,25 +153,33 @@ def evaluate(
 
     def chunk(params, state, carry, key):
         def body(c, k):
-            state, done, fs, ft, fl = c
+            state, done, fs, ft, fl, ac = c
             legal = board_ops.legal_moves_mask(state.board)
             actions = policy.fn(params, state.board, legal, k)
+            # Count actions of still-live games only (finished boards keep
+            # stepping as no-ops in this latched harness).
+            ac = ac + jnp.sum(
+                jax.nn.one_hot(actions, 4, dtype=jnp.int32)
+                * (~done)[:, None].astype(jnp.int32),
+                axis=0,
+            )
             state, ts = envlib.step(env_config, state, actions)
             newly = ts.done & ~done
             fs = jnp.where(newly, state.score, fs)
             ft = jnp.where(newly, ts.max_number, ft)
             fl = jnp.where(newly, ts.episode_steps, fl)
-            return (state, done | ts.done, fs, ft, fl), None
+            return (state, done | ts.done, fs, ft, fl, ac), None
 
         keys = jax.random.split(key, steps_per_call)
-        (state, done, fs, ft, fl), _ = jax.lax.scan(
+        (state, done, fs, ft, fl, ac), _ = jax.lax.scan(
             body, (state, *carry), keys
         )
-        return state, (done, fs, ft, fl)
+        return state, (done, fs, ft, fl, ac)
 
     chunk = jax.jit(chunk)
 
     remaining = num_games
+    action_counts = np.zeros(4, np.int64)
     while remaining > 0:
         b = min(batch_size, remaining)
         key, k_reset = jax.random.split(key)
@@ -163,11 +188,14 @@ def evaluate(
         final_score = jnp.zeros((b,), jnp.int32)
         final_tile = jnp.zeros((b,), jnp.int32)
         final_len = jnp.zeros((b,), jnp.int32)
+        act_counts = jnp.zeros((4,), jnp.int32)
         for _ in range(max_steps // steps_per_call + 1):
             key, k = jax.random.split(key)
-            state, (done, final_score, final_tile, final_len) = chunk(
-                policy.params, state,
-                (done, final_score, final_tile, final_len), k,
+            state, (done, final_score, final_tile, final_len, act_counts) = (
+                chunk(
+                    policy.params, state,
+                    (done, final_score, final_tile, final_len, act_counts), k,
+                )
             )
             if bool(done.all()):
                 break
@@ -180,10 +208,12 @@ def evaluate(
         scores.append(np.asarray(final_score))
         tiles.append(np.asarray(final_tile))
         lengths.append(np.asarray(final_len))
+        action_counts += np.asarray(act_counts, np.int64)
         remaining -= b
 
     return EvalResult(
         scores=np.concatenate(scores),
         max_tiles=np.concatenate(tiles),
         lengths=np.concatenate(lengths),
+        action_counts=action_counts,
     )

@@ -67,7 +67,20 @@ def create_mesh(
     n = len(devices)
     mp = max(config.model_parallel, 1)
     dp = config.data_parallel if config.data_parallel > 0 else n // mp
+    if dp * mp > n:
+        raise ValueError(
+            f"mesh {dp}x{mp} needs {dp * mp} devices, only {n} available"
+        )
     if dp * mp != n:
+        # Never strand chips silently: an explicit dp*mp < n is honored as
+        # an intentional subset but announced loudly.
+        import warnings
+
+        warnings.warn(
+            f"mesh {dp}x{mp} uses only {dp * mp} of {n} available devices; "
+            f"the rest sit idle",
+            stacklevel=2,
+        )
         devices = devices[: dp * mp]
     grid = np.array(devices).reshape(dp, mp)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
