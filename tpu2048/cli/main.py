@@ -29,7 +29,8 @@ def _save_run_config(args, directory: str) -> None:
     eval/demo can rebuild the exact train state without repeating flags."""
     keys = [
         "gamma", "epsilon", "epsilon_min", "epsilon_decay", "batch", "envs",
-        "updates_per_step", "memory_size", "per_alpha", "no_dedup",
+        "updates_per_step", "updates_per_episode", "max_updates_per_step",
+        "memory_size", "per_alpha", "no_dedup",
         "no_terminal_bonus", "features", "hidden", "blocks", "no_bf16",
         "steps_per_chunk", "replay_shards", "alpha", "seed",
     ]
@@ -84,7 +85,16 @@ def _add_dqn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--batch", type=int, default=64,
                    help="learner batch size (reference: 64)")
     p.add_argument("--envs", type=int, default=128, help="parallel envs")
-    p.add_argument("--updates-per-step", type=int, default=8)
+    p.add_argument("--updates-per-step", type=int, default=None,
+                   help="FIXED learner updates per vector env step "
+                        "(ablation mode; default: the reference's "
+                        "updates-per-episode debt schedule)")
+    p.add_argument("--updates-per-episode", type=int, default=100,
+                   help="learner updates owed per completed episode "
+                        "(reference: 100 replay calls at episode end, "
+                        "mainDQL:225)")
+    p.add_argument("--max-updates-per-step", type=int, default=512,
+                   help="cap on debt drained per vector step")
     p.add_argument("--memory-size", type=int, default=50_000)
     p.add_argument("--per-alpha", type=float, default=0.0,
                    help="priority exponent (0 = uniform, reference default)")
@@ -173,6 +183,8 @@ def _dqn_config(args):
         ),
         num_envs=args.envs,
         updates_per_step=args.updates_per_step,
+        updates_per_episode=getattr(args, "updates_per_episode", 100),
+        max_updates_per_step=getattr(args, "max_updates_per_step", 512),
         train_batch=args.batch,
         steps_per_chunk=args.steps_per_chunk,
         replay_shards=args.replay_shards,

@@ -5,11 +5,16 @@ TPU-native replacement for the reference's infinite episode loop
 Structural mapping (SURVEY.md §3.2):
 
 * The reference steps ONE env, predicts per move (a device round-trip per
-  action), and runs 100 replay updates when an episode ends. Here B envs
-  step in lockstep inside a jit'd ``lax.scan``; every scan step performs
-  ``updates_per_step`` learner updates, chosen so the samples-learned per
-  environment-step matches the reference's regime (~100 updates x 64 batch
-  / ~165-step episodes ~= 39 samples per env step).
+  action), and runs 100 replay updates when an episode ends
+  (mainDQL:223-226). Here B envs step in lockstep inside a jit'd
+  ``lax.scan``; the learner keeps the reference's EXACT update ratio via an
+  update-debt scheduler: every completed episode adds
+  ``updates_per_episode`` (default 100) to a debt counter, and each vector
+  step drains up to ``max_updates_per_step`` of it with a dynamic-trip
+  ``fori_loop``. Total gradient updates == 100 x episodes, exactly the
+  reference regime at any episode length (the old fixed
+  ``updates_per_step=8`` default was ~10x under the reference's ~39
+  samples-learned per env step; it remains available for ablations).
 * The driver's legal-move probing (mainDQL:170-174) is the env's pure
   ``legal_mask``; its "act_ripetitive when the last remember was a dedup
   skip" override (mainDQL:176-185) is the ``restrict_to_legal`` lane of
@@ -18,7 +23,7 @@ Structural mapping (SURVEY.md §3.2):
   (mainDQL:202-213) lives in the env (``EnvConfig.terminal_bonus``).
 * Periodic ops keyed on episodes (mainDQL:264-330): target sync @20,
   buffer prune @50 (10 worst episodes), full checkpoint @100, milestone
-  model saves at 1024/2048 — executed between jitted chunks when the
+  model saves at 512/1024/2048 — executed between jitted chunks when the
   global episode counter crosses a boundary.
 * The x0.98 LR decay on episodes ending at >=1024 (Dqn8:284-285,299-309)
   triggers at most once per vector step, like the reference's per-step
@@ -47,7 +52,15 @@ class DQNTrainConfig:
     agent: dqnlib.DQNConfig = dqnlib.DQNConfig()
     env: EnvConfig = EnvConfig(reward=SIMPLE, terminal_bonus=True)
     num_envs: int = 128
-    updates_per_step: int = 8  # learner updates per vector env step
+    # Learner schedule. Default (updates_per_step=None): the reference's
+    # regime — ``updates_per_episode`` updates owed per completed episode
+    # (100 replay calls at episode end, mainDQL:223-226), drained as the
+    # episodes finish, capped at ``max_updates_per_step`` per vector step
+    # (the residue carries over as debt). Setting ``updates_per_step``
+    # switches to a fixed per-step count (ablations, cheap tests).
+    updates_per_step: Optional[int] = None
+    updates_per_episode: int = 100  # mainDQL:225
+    max_updates_per_step: int = 512  # debt drained per vector step, max
     train_batch: int = 64  # Dqn8:249 batch_size
     steps_per_chunk: int = 16  # scan length per jit'd call
     replay_shards: int = 1  # data-parallel replay shards (devices)
@@ -80,6 +93,7 @@ class DQNLoopState:
     rng: jax.Array
     episodes_done: jax.Array  # () int32
     env_steps: jax.Array  # () int32
+    update_debt: jax.Array  # () int32 — learner updates owed (debt mode)
     # Aggregates over finished episodes (running):
     sum_return: jax.Array  # () f32
     sum_score: jax.Array  # () f32
@@ -106,6 +120,7 @@ def init_loop_state(config: DQNTrainConfig):
         rng=k_rng,
         episodes_done=jnp.zeros((), jnp.int32),
         env_steps=jnp.zeros((), jnp.int32),
+        update_debt=jnp.zeros((), jnp.int32),
         sum_return=jnp.zeros((), jnp.float32),
         sum_score=jnp.zeros((), jnp.float32),
         sum_length=jnp.zeros((), jnp.float32),
@@ -127,8 +142,8 @@ def train_chunk(config: DQNTrainConfig, model, tx, state: DQNLoopState):
     acfg = config.agent
     b = config.num_envs
 
-    def learner_round(carry, _):
-        agent, buffer, rng = carry
+    def learner_round(carry):
+        agent, buffer, rng, loss_sum = carry
         rng, k_sample = jax.random.split(rng)
         batch, indices, _ = replaylib.sharded_sample(
             buffer, k_sample, config.train_batch, acfg.alpha, acfg.beta
@@ -137,7 +152,7 @@ def train_chunk(config: DQNTrainConfig, model, tx, state: DQNLoopState):
         buffer = replaylib.sharded_update_priorities(
             buffer, indices, metrics["td_errors"], acfg.priority_epsilon
         )
-        return (agent, buffer, rng), metrics["loss"]
+        return (agent, buffer, rng, loss_sum + metrics["loss"])
 
     def body(st: DQNLoopState, _):
         rng, k_act, k_learn = jax.random.split(st.rng, 3)
@@ -177,28 +192,38 @@ def train_chunk(config: DQNTrainConfig, model, tx, state: DQNLoopState):
 
         # --- learner -------------------------------------------------------
         per_shard_batch = config.train_batch // config.replay_shards
+        # The reference's replay() guard: skip (not defer) when the buffer
+        # is under one batch or epsilon has not started decaying
+        # (Dqn8:353-354).
         can_train = (jnp.min(buffer.size) >= per_shard_batch) & (eps < 1.0)
 
-        def do_updates(args):
-            agent, buffer = args
-            (agent, buffer, _), losses = jax.lax.scan(
-                learner_round,
-                (agent, buffer, k_learn),
-                None,
-                length=config.updates_per_step,
+        if config.updates_per_step is not None:
+            n_upd = jnp.where(
+                can_train, jnp.int32(config.updates_per_step), 0
             )
-            return agent, buffer, jnp.mean(losses), jnp.int32(
-                config.updates_per_step
-            )
-
-        def no_updates(args):
-            agent, buffer = args
-            return agent, buffer, jnp.float32(0.0), jnp.int32(0)
+            debt_after = st.update_debt
+        else:
+            # Update-debt schedule: each completed episode owes
+            # ``updates_per_episode`` learner updates (mainDQL:223-226);
+            # drain up to the per-step cap now, carry the residue.
+            n_done = jnp.sum(ts.done).astype(jnp.int32)
+            debt = st.update_debt + n_done * config.updates_per_episode
+            n_upd = jnp.minimum(debt, config.max_updates_per_step)
+            # Guard false -> updates are skipped like the reference's
+            # early-return, not deferred.
+            n_upd = jnp.where(can_train, n_upd, 0)
+            debt_after = jnp.where(can_train, debt - n_upd, 0)
 
         with jax.named_scope("learner"):
-            agent, buffer, mean_loss, n_upd = jax.lax.cond(
-                can_train, do_updates, no_updates, (agent, buffer)
+            # Dynamic trip count (lowers to an XLA while loop): exactly
+            # n_upd updates run, no masked-iteration waste.
+            agent, buffer, _, loss_sum = jax.lax.fori_loop(
+                0,
+                n_upd,
+                lambda i, c: learner_round(c),
+                (agent, buffer, k_learn, jnp.float32(0.0)),
             )
+            mean_loss = loss_sum / jnp.maximum(n_upd, 1).astype(jnp.float32)
 
         # --- metrics -------------------------------------------------------
         done_f = ts.done.astype(jnp.float32)
@@ -217,6 +242,7 @@ def train_chunk(config: DQNTrainConfig, model, tx, state: DQNLoopState):
             rng=rng,
             episodes_done=st.episodes_done + jnp.sum(ts.done).astype(jnp.int32),
             env_steps=st.env_steps + b,
+            update_debt=debt_after,
             sum_return=st.sum_return + jnp.sum(ts.episode_return * done_f),
             sum_score=st.sum_score + jnp.sum(ep_score * done_f),
             sum_length=st.sum_length + jnp.sum(ts.episode_steps * done_f),
@@ -224,7 +250,7 @@ def train_chunk(config: DQNTrainConfig, model, tx, state: DQNLoopState):
             sum_final_tile=st.sum_final_tile
             + jnp.sum(ts.max_number.astype(jnp.float32) * done_f),
             tile_hist=st.tile_hist + hist_inc,
-            loss_sum=st.loss_sum + mean_loss * n_upd,
+            loss_sum=st.loss_sum + loss_sum,
             loss_count=st.loss_count + n_upd,
             last_loss=jnp.where(n_upd > 0, mean_loss, st.last_loss),
         )
@@ -273,13 +299,14 @@ def train(
 
     ``checkpoint_fn(state, episode)`` fires every ``checkpoint_episodes``
     (mainDQL:323-330); ``milestone_fn(state, episode, tile)`` fires when a
-    new best tile >= 1024 appears (mainDQL:254-262).
+    new best tile >= 512 appears (mainDQL:254-262 saves tiered models at
+    512/1024/2048).
 
     With ``ckpt_manager`` (a :class:`tpu2048.checkpoint.CheckpointManager`)
     the loop additionally: restores the latest step when ``resume`` (the
     reference's resume path, mainDQL:124-139), saves the full loop state
     every ``checkpoint_episodes``, saves milestone checkpoints at new
-    >=1024 best tiles (mainDQL:254-262), and — when ``config.rollback`` —
+    >=512 best tiles (mainDQL:254-262), and — when ``config.rollback`` —
     runs the block rollback policy (mainDQL:278-314): every
     ``rollback_block`` episodes compare the block's average final max tile
     with the previous block's; on a drop > ``rollback_drop`` restore the
@@ -384,7 +411,9 @@ def train(
                 state = state.replace(buffer=prune(state.buffer))
             last_prune = ep
         best = int(state.best_tile)
-        if best >= 1024 and best > prev["best"]:
+        # Milestone saves at the reference's 512/1024/2048 tiers
+        # (mainDQL:254-262 writes tiered model dirs at all three).
+        if best >= 512 and best > prev["best"]:
             if milestone_fn:
                 milestone_fn(state, ep, best)
             if ckpt_manager is not None:
@@ -416,6 +445,13 @@ def train(
                 block["restored"] += 1
                 ep = int(state.episodes_done)
                 # prev_avg intentionally kept (mainDQL:299).
+                # Rewind the periodic-op bookkeeping to the restored
+                # episode so target-sync/prune/checkpoint cadences re-fire
+                # on schedule instead of skipping the replayed window.
+                last_sync = min(last_sync, ep)
+                last_prune = min(last_prune, ep)
+                last_ckpt = min(last_ckpt, ep)
+                prev["best"] = int(state.best_tile)
             else:
                 ckpt_manager.save_named("block_checkpoint", state)
                 block["prev_avg"] = avg
