@@ -199,3 +199,76 @@ def test_fast_env_sharded_equals_unsharded():
         np.asarray(ref_ts.reward), np.asarray(sh_ts.reward)
     )
     np.testing.assert_array_equal(np.asarray(ref_ts.done), np.asarray(sh_ts.done))
+
+
+def test_kernel_emit_legal_matches_lax_mask():
+    """emit_legal: the kernel's post-reset legal mask equals the lax
+    engine's legal_moves_mask on the returned board."""
+    boards = random_boards(jax.random.PRNGKey(11))
+    actions = jax.random.randint(jax.random.PRNGKey(12), (B,), 0, 4)
+    new_cm, *_rest, legal = run_kernel(
+        boards, actions, seed=3, emit_pre_reset=True, emit_legal=True
+    )
+    post = from_cell_major(new_cm)
+    ref = board_ops.legal_moves_mask(post)  # (B, 4) bool
+    np.testing.assert_array_equal(
+        np.asarray(legal).T != 0, np.asarray(ref)
+    )
+
+
+def test_lax_backend_matches_kernel_bit_for_bit():
+    """The pure-lax fast-step oracle consumes the same bit rows and
+    reproduces the kernel's outputs exactly — including the in-kernel
+    random-legal policy, spawn, second-max semantics, and auto-reset."""
+    from tpu2048.env.fast import lax_fast_step
+
+    for seed, mode in ((21, "given"), (22, "random_policy")):
+        boards = random_boards(jax.random.PRNGKey(seed))
+        if mode == "given":
+            actions = jax.random.randint(
+                jax.random.PRNGKey(seed + 1), (B,), 0, 4
+            )
+        else:
+            actions = jnp.full((B,), -1, jnp.int32)
+        bits = jax.random.bits(
+            jax.random.PRNGKey(seed + 1000), (8, B), jnp.uint32
+        )
+        k_out = fused_env_step(
+            to_cell_major(boards), actions, seed, bits, block_size=BLK,
+            interpret=True, emit_pre_reset=True, emit_legal=True,
+        )
+        l_out = lax_fast_step(to_cell_major(boards), actions, bits)
+        names = ["boards", "score", "valid", "done", "max_exp",
+                 "second_exp", "pre_reset", "legal"]
+        for name, k, l in zip(names, k_out, l_out):
+            np.testing.assert_array_equal(
+                np.asarray(k).astype(np.int32),
+                np.asarray(l).astype(np.int32),
+                err_msg=f"{mode}: {name} mismatch",
+            )
+
+
+def test_fast_env_lax_backend_equals_pallas_trajectory():
+    """Multi-step fast_step trajectories agree between backends."""
+    cfg_k = FastEnvConfig(terminal_bonus=True, block_size=BLK,
+                          interpret=True, external_rng=True)
+    cfg_l = FastEnvConfig(terminal_bonus=True, external_rng=True,
+                          backend="lax")
+    s_k = fast_reset(cfg_k, jax.random.PRNGKey(5), B)
+    s_l = fast_reset(cfg_l, jax.random.PRNGKey(5), B)
+    for i in range(40):
+        actions = jax.random.randint(jax.random.PRNGKey(100 + i), (B,), 0, 4)
+        s_k, ts_k = fast_step(cfg_k, s_k, actions, need_obs=True,
+                              need_legal=True)
+        s_l, ts_l = fast_step(cfg_l, s_l, actions, need_obs=True,
+                              need_legal=True)
+        np.testing.assert_array_equal(np.asarray(s_k.boards),
+                                      np.asarray(s_l.boards))
+        np.testing.assert_array_equal(np.asarray(s_k.legal),
+                                      np.asarray(s_l.legal))
+        np.testing.assert_array_equal(np.asarray(ts_k.obs),
+                                      np.asarray(ts_l.obs))
+        np.testing.assert_allclose(np.asarray(ts_k.reward),
+                                   np.asarray(ts_l.reward))
+        np.testing.assert_array_equal(np.asarray(ts_k.done),
+                                      np.asarray(ts_l.done))

@@ -9,9 +9,22 @@ op-by-op lax env (bench.py). Reward (simple + optional terminal bonus,
 mainDQL:202-213) and episode accounting are a handful of fused lane ops
 outside the kernel.
 
-The classic :mod:`tpu2048.env.env` remains the reference-parity path
-(shaped rewards, quirk-compat, explicit-spawn replay); this one is for
-throughput-critical rollouts and training.
+This is the DEFAULT engine of the DQN/tabular training loops and the eval
+harness for SIMPLE-reward fixed semantics (the hot loop the reference
+spends its life in, mainDQL_CNN_step2.py:160-237). The classic
+:mod:`tpu2048.env.env` remains the reference-parity path (shaped rewards,
+quirk-compat, explicit-spawn replay).
+
+Two interchangeable backends compute the identical step function:
+
+* ``backend="pallas"`` — the fused Mosaic kernel
+  (:func:`tpu2048.ops.pallas_step.fused_env_step`); production.
+* ``backend="lax"`` — :func:`lax_fast_step`, the same semantics written
+  op-by-op on :mod:`tpu2048.ops.board`. Requires ``external_rng`` (it
+  consumes the same explicit bit streams the kernel does), and is the
+  differential oracle: with the same bits, both backends produce
+  bit-identical trajectories (tests/test_pallas_step.py,
+  tests/test_fast_training.py).
 """
 
 from __future__ import annotations
@@ -34,11 +47,38 @@ class FastEnvConfig:
     interpret: bool = False  # pallas interpret mode (CPU tests)
     external_rng: bool = False  # feed jax.random bits instead of TPU PRNG
     # (required for interpret mode — the interpreter has no core PRNG)
+    backend: str = "pallas"  # "pallas" (fused kernel) or "lax" (oracle)
+
+    def __post_init__(self):
+        if self.backend not in ("pallas", "lax"):
+            raise ValueError(f"unknown fast-env backend {self.backend!r}")
+        if self.backend == "lax" and not self.external_rng:
+            raise ValueError("backend='lax' requires external_rng=True")
+
+
+def for_backend(terminal_bonus: bool = True, batch_size: int = 0,
+                shards: int = 1) -> FastEnvConfig:
+    """A FastEnvConfig tuned for the current JAX backend.
+
+    On TPU: the fused kernel with the on-core PRNG, block size clipped to
+    the per-shard batch. On CPU (tests, ``--cpu`` runs, the multichip
+    dry-run): interpret mode with external jax.random bits.
+    """
+    on_cpu = jax.default_backend() == "cpu"
+    per_shard = max(batch_size // max(shards, 1), 1)
+    block = min(ps.DEFAULT_BLOCK, per_shard) if batch_size else ps.DEFAULT_BLOCK
+    return FastEnvConfig(
+        terminal_bonus=terminal_bonus,
+        block_size=block,
+        interpret=on_cpu,
+        external_rng=on_cpu,
+    )
 
 
 @struct.dataclass
 class FastEnvState:
     boards: jax.Array  # (16, B) int8 cell-major
+    legal: jax.Array  # (B, 4) bool — legal moves of `boards`
     score: jax.Array  # (B,) int32 episode merge score
     episode_steps: jax.Array  # (B,) int32
     episode_return: jax.Array  # (B,) f32
@@ -62,19 +102,110 @@ class FastTimeStep:
 
 
 def fast_reset(config: FastEnvConfig, key, batch_size: int) -> FastEnvState:
+    k_boards, k_seed = jax.random.split(key)
     boards = jax.vmap(board_ops.init_board)(
-        jax.random.split(key, batch_size)
+        jax.random.split(k_boards, batch_size)
     )
     return FastEnvState(
         boards=ps.to_cell_major(boards),
+        legal=board_ops.legal_moves_mask(boards),
         score=jnp.zeros((batch_size,), jnp.int32),
         episode_steps=jnp.zeros((batch_size,), jnp.int32),
         episode_return=jnp.zeros((batch_size,), jnp.float32),
-        seed=jax.random.randint(key, (), 0, 1 << 30, dtype=jnp.int32),
+        seed=jax.random.randint(k_seed, (), 0, 1 << 30, dtype=jnp.int32),
     )
 
 
-def make_sharded_kernel(config: FastEnvConfig, mesh, data_axis: str = "data"):
+def _uniform_mod(bits, n):
+    """Mirror of the kernel's draw: (bits >> 1) % max(n, 1)."""
+    return (bits >> jnp.uint32(1)).astype(jnp.int32) % jnp.maximum(n, 1)
+
+
+def _tile_value(bits):
+    return jnp.where(
+        (bits % jnp.uint32(10)) < jnp.uint32(9), jnp.int8(1), jnp.int8(2)
+    )
+
+
+def lax_fast_step(boards_cm, actions, rng_bits):
+    """Pure-lax mirror of :func:`ps.fused_env_step` (emit everything).
+
+    Consumes the identical 8 uint32 bit rows per lane the kernel does
+    (action-pick, unused, spawn-pos, spawn-val, reset-p1, reset-p2,
+    reset-v1, reset-v2) and matches it bit-for-bit — the differential
+    oracle for the kernel and the CPU fallback of the fast env.
+
+    Returns the full kernel tuple ``(new_boards_cm, score, valid, done,
+    max_exp, second_exp, pre_reset_cm, legal_next_4B)``.
+    """
+    boards = ps.from_cell_major(boards_cm)
+    b = boards.shape[0]
+    cand_b, cand_s, cand_m = board_ops.move_all(boards)
+    legal = jnp.moveaxis(cand_m, 0, -1)  # (B, 4)
+    legal_i = legal.astype(jnp.int32)
+    n_legal = jnp.sum(legal_i, axis=-1)
+
+    # In-kernel random-legal policy for lanes with action < 0.
+    pick = _uniform_mod(rng_bits[0], n_legal)
+    before = jnp.cumsum(legal_i, axis=-1) - legal_i  # exclusive csum
+    rand_act = jnp.argmax(
+        legal & (before == pick[:, None]), axis=-1
+    ).astype(jnp.int32)
+    actions = jnp.asarray(actions, jnp.int32)
+    action = jnp.where(actions < 0, rand_act, actions)
+
+    merged, score, moved = board_ops.select_move(cand_b, cand_s, cand_m, action)
+
+    # Spawn on a uniformly-random empty cell of the merged board.
+    n_empty = jnp.sum((merged == 0).astype(jnp.int32), axis=(-1, -2))
+    idx = _uniform_mod(rng_bits[2], n_empty)
+    val = _tile_value(rng_bits[3])
+    spawned = jax.vmap(board_ops.spawn_at)(merged, idx, val)
+    new_board = jnp.where(moved[:, None, None], spawned, boards)
+
+    done = board_ops.is_game_over(new_board)
+
+    # Terminal stats: max exponent and the second-max with the kernel's
+    # "skip the first max cell in cell order" semantics.
+    flat = new_board.reshape(b, 16).astype(jnp.int32)
+    mx = jnp.max(flat, axis=-1)
+    first_max = jnp.argmax(flat == mx[:, None], axis=-1)
+    others = jnp.where(
+        jnp.arange(16)[None, :] == first_max[:, None], -1, flat
+    )
+    second = jnp.maximum(jnp.max(others, axis=-1), 0)
+
+    # Auto-reset: fresh 2-tile board from the reset bit rows.
+    p1 = _uniform_mod(rng_bits[4], jnp.full((b,), 16, jnp.int32))
+    p2r = _uniform_mod(rng_bits[5], jnp.full((b,), 15, jnp.int32))
+    p2 = jnp.where(p2r >= p1, p2r + 1, p2r)
+    v1 = _tile_value(rng_bits[6])
+    v2 = _tile_value(rng_bits[7])
+    cells = jnp.arange(16)[None, :]
+    fresh = jnp.where(
+        cells == p1[:, None],
+        v1[:, None],
+        jnp.where(cells == p2[:, None], v2[:, None], jnp.int8(0)),
+    ).reshape(b, 4, 4)
+    final = jnp.where(done[:, None, None], fresh, new_board)
+    legal_next = board_ops.legal_moves_mask(final)
+
+    return (
+        ps.to_cell_major(final),
+        score,
+        moved,
+        done,
+        jnp.max(new_board, axis=(-1, -2)),
+        second.astype(jnp.int8),
+        ps.to_cell_major(new_board),
+        legal_next.T.astype(jnp.int8),
+    )
+
+
+def make_sharded_kernel(
+    config: FastEnvConfig, mesh, data_axis: str = "data",
+    need_legal: bool = False,
+):
     """Wrap the fused kernel in ``shard_map`` over the data mesh axis.
 
     Each device runs the kernel on its local shard of envs — zero
@@ -83,13 +214,18 @@ def make_sharded_kernel(config: FastEnvConfig, mesh, data_axis: str = "data"):
 
     Returns a function with the signature of
     :func:`tpu2048.ops.pallas_step.fused_env_step` (boards sharded
-    ``P(None, data)``, lane outputs ``P(data)``).
+    ``P(None, data)``, lane outputs ``P(data)``); always emits the
+    pre-reset board, and the post-reset legal mask when ``need_legal``.
     """
     from jax.sharding import PartitionSpec as P
 
     external = config.external_rng
+    use_lax = config.backend == "lax"
 
     def local(boards, actions, seed, rng_bits=None):
+        if use_lax:
+            outs = lax_fast_step(boards, actions, rng_bits)
+            return outs if need_legal else outs[:7]
         # Decorrelate device PRNG streams (no-op when bits are external —
         # they are already sharded per device).
         seed = seed + jax.lax.axis_index(data_axis) * jnp.int32(7919)
@@ -100,6 +236,7 @@ def make_sharded_kernel(config: FastEnvConfig, mesh, data_axis: str = "data"):
             rng_bits,
             block_size=config.block_size,
             emit_pre_reset=True,
+            emit_legal=need_legal,
             interpret=config.interpret,
         )
 
@@ -115,6 +252,8 @@ def make_sharded_kernel(config: FastEnvConfig, mesh, data_axis: str = "data"):
         P(data_axis),  # second_exp
         P(None, data_axis),  # pre-reset boards
     )
+    if need_legal:
+        out_specs = out_specs + (P(None, data_axis),)  # (4, B) legal
     return jax.shard_map(
         local, mesh=mesh, in_specs=tuple(in_specs), out_specs=out_specs,
         check_vma=False,
@@ -126,14 +265,18 @@ def fast_step(
     state: FastEnvState,
     actions: Optional[jax.Array] = None,
     need_obs: bool = False,
+    need_legal: bool = False,
     sharded_kernel=None,
 ) -> Tuple[FastEnvState, FastTimeStep]:
     """One fused step. ``actions=None`` -> in-kernel random-legal policy.
 
     ``need_obs=True`` additionally materializes the pre-reset board in the
-    timestep (for replay insertion); off by default to save bandwidth.
-    ``sharded_kernel`` (from :func:`make_sharded_kernel`) routes the kernel
-    through shard_map for multi-device meshes.
+    timestep (for replay insertion); ``need_legal=True`` refreshes
+    ``state.legal`` from the kernel (otherwise the field goes stale — the
+    bench/random-policy path never reads it). Both off by default to save
+    bandwidth. ``sharded_kernel`` (from :func:`make_sharded_kernel`, built
+    with matching ``need_legal``) routes the kernel through shard_map for
+    multi-device meshes.
     """
     b = state.batch_size
     if actions is None:
@@ -148,6 +291,14 @@ def fast_step(
             args = args + (rng_bits,)
         outs = sharded_kernel(*args)
         need = True  # sharded kernel always emits pre-reset
+        if need_legal and len(outs) < 8:
+            raise ValueError(
+                "need_legal=True requires a sharded kernel built with "
+                "make_sharded_kernel(..., need_legal=True)"
+            )
+    elif config.backend == "lax":
+        outs = lax_fast_step(state.boards, actions, rng_bits)
+        need = True
     else:
         outs = ps.fused_env_step(
             state.boards,
@@ -156,11 +307,18 @@ def fast_step(
             rng_bits,
             block_size=config.block_size,
             emit_pre_reset=need_obs,
+            emit_legal=need_legal,
             interpret=config.interpret,
         )
         need = need_obs
     new_boards, merge_score, valid, done, max_exp, second_exp = outs[:6]
+    valid = jnp.asarray(valid) != 0 if valid.dtype != jnp.bool_ else valid
+    done = jnp.asarray(done) != 0 if done.dtype != jnp.bool_ else done
     obs = outs[6] if need else new_boards
+    if need_legal:
+        legal = (outs[-1] != 0).T  # (4, B) int8 -> (B, 4) bool
+    else:
+        legal = state.legal
 
     # Simple reward (nopenalty:122-138) + driver terminal bonus
     # (mainDQL:202-213).
@@ -198,6 +356,7 @@ def fast_step(
     )
     new_state = FastEnvState(
         boards=new_boards,
+        legal=legal,
         score=jnp.where(done, 0, score),
         episode_steps=jnp.where(done, 0, episode_steps),
         episode_return=jnp.where(done, 0.0, episode_return),

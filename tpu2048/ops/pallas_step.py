@@ -122,6 +122,39 @@ def _merge_all(cells):
     return ys, score_d, moved_d
 
 
+def _legal_dirs(cells):
+    """Per-direction legality of a 16-cell board, without a merge network.
+
+    Direction ``d`` is legal iff some row (cells ordered from the wall the
+    row slides toward, ROWS[d]) has a hole — a zero nearer the wall than a
+    nonzero — or an adjacent equal nonzero pair. ~12 lane ops per row vs
+    the ~60 of a full merge; used for the game-over check and the
+    ``emit_legal`` output feeding actor-side action masking.
+
+    Returns 4 bool arrays of (1, blk).
+    """
+    legal = []
+    for d in range(4):
+        acc = None
+        for r in range(4):
+            a = [cells[j] for j in ROWS[d][r]]
+            nz = [x != 0 for x in a]
+            hole = (
+                (~nz[0] & (nz[1] | nz[2] | nz[3]))
+                | (~nz[1] & (nz[2] | nz[3]))
+                | (~nz[2] & nz[3])
+            )
+            pair = (
+                ((a[0] == a[1]) & nz[0])
+                | ((a[1] == a[2]) & nz[1])
+                | ((a[2] == a[3]) & nz[2])
+            )
+            row_legal = hole | pair
+            acc = row_legal if acc is None else (acc | row_legal)
+        legal.append(acc)
+    return legal
+
+
 def _uniform_mod(bits, n):
     """bits (1, blk) uint32 -> int32 in [0, n) (tiny modulo bias)."""
     return (bits >> jnp.uint32(1)).astype(jnp.int32) % jnp.maximum(n, 1)
@@ -136,6 +169,7 @@ def _tile_value(bits):
 
 def _step_kernel(
     emit_pre_reset: bool,
+    emit_legal: bool,
     use_prng: bool,
     seed_ref,
     boards_ref,
@@ -245,12 +279,21 @@ def _step_kernel(
     p2 = jnp.where(p2r >= p1, p2r + 1, p2r)
     v1 = _tile_value(rand(6))
     v2 = _tile_value(rand(7))
+    final_cells = []
     for i in range(16):
         fresh = jnp.where(p1 == i, v1, jnp.where(p2 == i, v2, jnp.int32(0)))
-        final = jnp.where(done, fresh, new_cells[i])
-        out_ref[i : i + 1, :] = final.astype(jnp.int8)
+        final_cells.append(jnp.where(done, fresh, new_cells[i]))
+        out_ref[i : i + 1, :] = final_cells[i].astype(jnp.int8)
         if emit_pre_reset:
             rest[0][i : i + 1, :] = new_cells[i].astype(jnp.int8)
+
+    if emit_legal:
+        # Per-direction legality of the POST-reset board — next step's
+        # action mask (mainDQL:170-174's probe loop, in-kernel).
+        legal_ref = rest[1] if emit_pre_reset else rest[0]
+        legal_next = _legal_dirs(final_cells)
+        for d in range(4):
+            legal_ref[d : d + 1, :] = legal_next[d].astype(jnp.int8)
 
     score_ref[0:1, :] = score
     valid_ref[0:1, :] = moved.astype(jnp.int8)
@@ -261,7 +304,8 @@ def _step_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_size", "emit_pre_reset", "interpret"),
+    static_argnames=("block_size", "emit_pre_reset", "emit_legal",
+                     "interpret"),
 )
 def fused_env_step(
     boards,
@@ -271,6 +315,7 @@ def fused_env_step(
     *,
     block_size: int = DEFAULT_BLOCK,
     emit_pre_reset: bool = False,
+    emit_legal: bool = False,
     interpret: bool = False,
 ):
     """One fused env step for the whole batch.
@@ -288,11 +333,15 @@ def fused_env_step(
         tests or deterministic replay.
       emit_pre_reset: also return the post-step board BEFORE auto-reset
         (needed to store terminal transitions in replay).
+      emit_legal: also return the per-direction legal-move mask of the
+        POST-reset board — the next step's action mask, so the actor never
+        recomputes legality outside the kernel.
 
     Returns:
-      ``(new_boards, score, valid, done, max_exp, second_exp[, pre_reset])``
-      with shapes ``(16, B)`` int8, ``(B,)`` int32, ``(B,)`` bool, ``(B,)``
-      bool, ``(B,)`` int8, ``(B,)`` int8 [, ``(16, B)`` int8].
+      ``(new_boards, score, valid, done, max_exp, second_exp[, pre_reset]
+      [, legal_next])`` with shapes ``(16, B)`` int8, ``(B,)`` int32,
+      ``(B,)`` bool, ``(B,)`` bool, ``(B,)`` int8, ``(B,)`` int8
+      [, ``(16, B)`` int8][, ``(4, B)`` int8].
     """
     b = boards.shape[1]
     if b % block_size:
@@ -316,6 +365,11 @@ def fused_env_step(
     if emit_pre_reset:
         out_shape.append(jax.ShapeDtypeStruct((16, b), jnp.int8))
         out_specs.append(board_spec)
+    if emit_legal:
+        out_shape.append(jax.ShapeDtypeStruct((4, b), jnp.int8))
+        out_specs.append(
+            pl.BlockSpec((4, block_size), row, memory_space=pltpu.VMEM)
+        )
 
     use_prng = rng_bits is None
     in_specs = [
@@ -332,7 +386,7 @@ def fused_env_step(
         inputs.append(rng_bits)
 
     outs = pl.pallas_call(
-        functools.partial(_step_kernel, emit_pre_reset, use_prng),
+        functools.partial(_step_kernel, emit_pre_reset, emit_legal, use_prng),
         grid=(b // block_size,),
         in_specs=in_specs,
         out_shape=tuple(out_shape),
@@ -351,6 +405,8 @@ def fused_env_step(
     )
     if emit_pre_reset:
         result = result + (outs[6],)
+    if emit_legal:
+        result = result + (outs[-1],)
     return result
 
 
