@@ -64,7 +64,7 @@ def test_roundtrip_identical_continuation(tmp_path):
     # Continue both: trajectories must be bit-identical.
     cont_a, _, _ = chunk(state)
     cont_b, _, _ = chunk(restored)
-    assert leaves_equal(cont_a.env_state.board, cont_b.env_state.board)
+    assert leaves_equal(cont_a.env_state, cont_b.env_state)
     assert leaves_equal(cont_a.agent.params, cont_b.agent.params)
     assert leaves_equal(cont_a.buffer.boards, cont_b.buffer.boards)
     assert int(cont_a.episodes_done) == int(cont_b.episodes_done)

@@ -1,0 +1,222 @@
+"""Fast-engine training/eval integration tests.
+
+The production actor runs on the fused Pallas step kernel
+(tpu2048/env/fast.py, tpu2048/ops/pallas_step.py). These tests pin the
+end-to-end guarantee: with the same external RNG bit streams, the kernel
+backend ("pallas", interpret mode on CPU) and the op-by-op oracle
+backend ("lax") produce BIT-IDENTICAL trajectories all the way through
+the real training chunks (actor -> dedup -> replay insert -> learner),
+and the fast eval harness reproduces the lax harness' distributions.
+
+Also exercises PER end-to-end through the sharded replay path
+(sample -> TD -> priority write -> resample), VERDICT r1 item 8; the
+reference's PER machinery is Dqn8TestNOPERCNN.py:67-104.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu2048.agents.dqn import DQNConfig, make_optimizer
+from tpu2048.agents.tabular import TabularConfig
+from tpu2048.env import EnvConfig, SHAPED, SIMPLE
+from tpu2048.eval import evaluate, random_legal_policy
+from tpu2048.replay import sharded as replaylib
+from tpu2048.training import dqn as dqntrain
+from tpu2048.training import tabular as tabtrain
+
+TINY = DQNConfig(
+    features=16, hidden=32, num_blocks=1, bf16=False, dropout=0.0,
+    memory_size=512, epsilon=0.5,
+)
+
+
+def dqn_config(**kw):
+    defaults = dict(
+        agent=TINY,
+        env=EnvConfig(reward=SIMPLE, terminal_bonus=True),
+        num_envs=16,
+        updates_per_step=1,
+        train_batch=16,
+        steps_per_chunk=8,
+        seed=0,
+    )
+    defaults.update(kw)
+    return dqntrain.DQNTrainConfig(**defaults)
+
+
+def test_engine_resolution():
+    assert dqntrain.resolve_engine(dqn_config()) == "fast"
+    lax_cfg = dqn_config(env=EnvConfig(reward=SIMPLE, quirk_compat=True))
+    assert dqntrain.resolve_engine(lax_cfg) == "lax"
+    with pytest.raises(ValueError):
+        dqntrain.resolve_engine(
+            dqn_config(env=EnvConfig(reward=SIMPLE, quirk_compat=True),
+                       engine="fast")
+        )
+    tab_shaped = tabtrain.TabularTrainConfig(env=EnvConfig(reward=SHAPED))
+    assert tabtrain.resolve_engine(tab_shaped) == "lax"
+    tab_simple = tabtrain.TabularTrainConfig(env=EnvConfig(reward=SIMPLE))
+    assert tabtrain.resolve_engine(tab_simple) == "fast"
+
+
+def test_dqn_train_chunk_backends_bitwise():
+    """Kernel (interpret) vs lax oracle: identical through train_chunk."""
+    outs = {}
+    for be in (None, "lax"):
+        cfg = dqn_config(fast_backend=be)
+        tx = make_optimizer(cfg.agent)
+        model, st = dqntrain.init_loop_state(cfg)
+        chunk = jax.jit(
+            lambda s, c=cfg, m=model, t=tx: dqntrain.train_chunk(c, m, t, s)
+        )
+        st, _, _ = chunk(st)
+        st, _, _ = chunk(st)
+        outs[be] = st
+    a, b = outs[None], outs["lax"]
+    np.testing.assert_array_equal(
+        np.asarray(a.env_state.boards), np.asarray(b.env_state.boards)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.env_state.legal), np.asarray(b.env_state.legal)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.buffer.boards), np.asarray(b.buffer.boards)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.buffer.rewards), np.asarray(b.buffer.rewards)
+    )
+    assert int(a.episodes_done) == int(b.episodes_done)
+    assert int(a.env_steps) == int(b.env_steps)
+    np.testing.assert_array_equal(
+        np.asarray(a.tile_hist), np.asarray(b.tile_hist)
+    )
+    for x, y in zip(
+        jax.tree.leaves(a.agent.params), jax.tree.leaves(b.agent.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_tabular_train_chunk_backends_bitwise():
+    outs = {}
+    base = tabtrain.TabularTrainConfig(
+        agent=TabularConfig(capacity_log2=12, total_epochs=4),
+        env=EnvConfig(reward=SIMPLE),
+        batch_size=16,
+        steps_per_chunk=16,
+        seed=1,
+    )
+    for be in (None, "lax"):
+        cfg = dataclasses.replace(base, fast_backend=be)
+        st = tabtrain.init_train_state(cfg)
+        st, _ = jax.jit(lambda s, c=cfg: tabtrain.train_chunk(c, s))(st)
+        outs[be] = st
+    a, b = outs[None], outs["lax"]
+    np.testing.assert_array_equal(
+        np.asarray(a.env_state.boards), np.asarray(b.env_state.boards)
+    )
+    np.testing.assert_array_equal(np.asarray(a.table.q), np.asarray(b.table.q))
+    np.testing.assert_array_equal(
+        np.asarray(a.action_counts), np.asarray(b.action_counts)
+    )
+    assert int(a.episodes_done) == int(b.episodes_done)
+
+
+def test_dqn_fast_engine_full_train_loop():
+    """The host train() loop on the fast engine: episodes finish, learner
+    runs, tile histogram accounts for every finished episode."""
+    cfg = dqn_config(num_envs=32, train_batch=32, steps_per_chunk=16)
+    logs = dqntrain.train(cfg, total_episodes=40)
+    last = logs[-1]
+    assert last["episodes"] >= 40
+    assert last["train_steps"] > 0
+    assert last["buffer_size"] > 32
+    assert sum(last["tile_hist"]) == last["episodes"]
+    assert last["best_tile"] >= 16
+
+
+def test_eval_fast_engine_matches_lax_statistically():
+    """Random-legal policy under both engines: distributions agree.
+
+    RNG streams differ between engines, so the comparison is statistical:
+    mean score within 35% and identical action-space coverage.
+    """
+    key = jax.random.PRNGKey(0)
+    fast = evaluate(
+        random_legal_policy(), num_games=64, key=key, batch_size=64,
+        max_steps=1200, engine="fast",
+    )
+    lax_r = evaluate(
+        random_legal_policy(), num_games=64, key=key, batch_size=64,
+        max_steps=1200, engine="lax",
+    )
+    assert len(fast.scores) == len(lax_r.scores) == 64
+    assert np.all(fast.lengths > 10) and np.all(lax_r.lengths > 10)
+    mf, ml = fast.scores.mean(), lax_r.scores.mean()
+    assert abs(mf - ml) / max(ml, 1.0) < 0.35, (mf, ml)
+    # Action counts cover all four moves and only count live steps.
+    assert (fast.action_counts > 0).all()
+    assert fast.action_counts.sum() == fast.lengths.sum()
+
+
+def test_per_alpha_skews_training_sampling():
+    """PER end-to-end through the sharded path: TD magnitudes are written
+    back as priorities during training, and alpha>0 sampling then favors
+    high-priority transitions (Dqn8TestNOPERCNN.py:67-104)."""
+    cfg = dqn_config(
+        agent=dataclasses.replace(TINY, alpha=0.6, memory_size=1024),
+        num_envs=16,
+        updates_per_step=2,
+        steps_per_chunk=16,
+        replay_shards=2,
+    )
+    tx = make_optimizer(cfg.agent)
+    model, st = dqntrain.init_loop_state(cfg)
+    chunk = jax.jit(lambda s: dqntrain.train_chunk(cfg, model, tx, s))
+    for _ in range(3):
+        st, _, _ = chunk(st)
+    buf = st.buffer
+    size = np.asarray(buf.size)  # (S,)
+    assert (size >= cfg.train_batch // 2).all()
+
+    # (1) Training wrote |TD|-derived priorities: the filled prefix is
+    # no longer a constant initial value.
+    pri = np.asarray(buf.priorities)
+    filled = np.concatenate(
+        [pri[s, : size[s]] for s in range(pri.shape[0])]
+    )
+    assert filled.std() > 1e-6, "priorities never updated by TD errors"
+
+    # (2) alpha=0.6 sampling is priority-skewed: the mean priority of
+    # sampled entries exceeds the buffer mean (uniform sampling would
+    # match it in expectation).
+    sampled = []
+    key = jax.random.PRNGKey(42)
+    sample = jax.jit(
+        lambda k: replaylib.sharded_sample(buf, k, 32, 0.6, 1.0)[1]
+    )
+    for _ in range(64):
+        key, k = jax.random.split(key)
+        idx = np.asarray(sample(k))  # (S, per)
+        for s in range(idx.shape[0]):
+            sampled.append(pri[s, idx[s]])
+    mean_sampled = np.concatenate(sampled).mean()
+    mean_buffer = filled.mean()
+    assert mean_sampled > mean_buffer * 1.02, (mean_sampled, mean_buffer)
+
+    # Control: alpha=0 (uniform) stays at the buffer mean.
+    sample_u = jax.jit(
+        lambda k: replaylib.sharded_sample(buf, k, 32, 0.0, 1.0)[1]
+    )
+    sampled_u = []
+    key = jax.random.PRNGKey(43)
+    for _ in range(64):
+        key, k = jax.random.split(key)
+        idx = np.asarray(sample_u(k))
+        for s in range(idx.shape[0]):
+            sampled_u.append(pri[s, idx[s]])
+    mean_uniform = np.concatenate(sampled_u).mean()
+    assert abs(mean_uniform - mean_buffer) < abs(mean_sampled - mean_buffer)

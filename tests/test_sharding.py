@@ -20,7 +20,13 @@ from tpu2048.parallel import (
     param_partition_spec,
     place_loop_state,
 )
-from tpu2048.training.dqn import DQNTrainConfig, init_loop_state, train_chunk
+from tpu2048.env.fast import make_sharded_kernel
+from tpu2048.training.dqn import (
+    DQNTrainConfig,
+    fast_config,
+    init_loop_state,
+    train_chunk,
+)
 
 TINY = DQNConfig(
     features=16,
@@ -101,15 +107,19 @@ def test_dqn_train_chunk_sharded_equals_unsharded(model_parallel):
     _, fresh = init_loop_state(config)
     shardings = dqn_loop_sharding(fresh, mesh, model_parallel)
     placed = place_loop_state(fresh, shardings)
+    # The production sharded actor: the fused step kernel shard_map'd over
+    # the data axis (same external bit streams -> same trajectories).
+    sk = make_sharded_kernel(fast_config(config), mesh, need_legal=True)
     sh_state, _, _ = jax.jit(
-        lambda s: train_chunk(config, model, tx, s),
+        lambda s: train_chunk(config, model, tx, s, sharded_kernel=sk),
         in_shardings=(shardings,),
         out_shardings=None,
     )(placed)
 
-    # Trajectories identical (integer dynamics, same keys).
+    # Trajectories identical (integer dynamics, same external bits).
     np.testing.assert_array_equal(
-        np.asarray(ref_state.env_state.board), np.asarray(sh_state.env_state.board)
+        np.asarray(ref_state.env_state.boards),
+        np.asarray(sh_state.env_state.boards),
     )
     assert int(ref_state.episodes_done) == int(sh_state.episodes_done)
     np.testing.assert_array_equal(

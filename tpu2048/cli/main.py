@@ -32,7 +32,7 @@ def _save_run_config(args, directory: str) -> None:
         "updates_per_step", "updates_per_episode", "max_updates_per_step",
         "memory_size", "per_alpha", "no_dedup",
         "no_terminal_bonus", "features", "hidden", "blocks", "no_bf16",
-        "steps_per_chunk", "replay_shards", "alpha", "seed",
+        "steps_per_chunk", "replay_shards", "alpha", "engine", "seed",
     ]
     payload = {k: getattr(args, k) for k in keys if hasattr(args, k)}
     os.makedirs(directory, exist_ok=True)
@@ -64,6 +64,10 @@ def _add_tabular_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--capacity-log2", type=int, default=24,
                    help="Q-table slots = 2**N")
     p.add_argument("--reward", choices=["shaped", "simple"], default="shaped")
+    p.add_argument("--engine", choices=["auto", "fast", "lax"], default="auto",
+                   help="actor engine: fast = fused Pallas step kernel "
+                        "(simple reward only), lax = op-by-op env; auto "
+                        "picks fast whenever the env semantics allow")
     p.add_argument("--steps-per-chunk", type=int, default=256)
     p.add_argument("--plot-every", type=int, default=0,
                    help="regenerate the 3-panel training plot every N "
@@ -105,6 +109,10 @@ def _add_dqn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--hidden", type=int, default=1024)
     p.add_argument("--blocks", type=int, default=3)
     p.add_argument("--no-bf16", action="store_true")
+    p.add_argument("--engine", choices=["auto", "fast", "lax"], default="auto",
+                   help="actor engine: fast = fused Pallas step kernel "
+                        "(simple reward only), lax = op-by-op env; auto "
+                        "picks fast whenever the env semantics allow")
     p.add_argument("--steps-per-chunk", type=int, default=16)
     p.add_argument("--replay-shards", type=int, default=1)
     p.add_argument("--data-parallel", type=int, default=1,
@@ -153,6 +161,7 @@ def _tabular_config(args):
         batch_size=args.batch,
         total_episodes=args.episodes,
         steps_per_chunk=args.steps_per_chunk,
+        engine=getattr(args, "engine", "auto"),
         seed=args.seed,
     )
 
@@ -182,6 +191,7 @@ def _dqn_config(args):
             reward=SIMPLE, terminal_bonus=not args.no_terminal_bonus
         ),
         num_envs=args.envs,
+        engine=getattr(args, "engine", "auto"),
         updates_per_step=args.updates_per_step,
         updates_per_episode=getattr(args, "updates_per_episode", 100),
         max_updates_per_step=getattr(args, "max_updates_per_step", 512),
@@ -340,6 +350,7 @@ def cmd_eval(args) -> int:
         num_games=args.games,
         key=jax.random.PRNGKey(args.seed),
         batch_size=args.eval_batch,
+        engine=getattr(args, "engine", "auto"),
     )
     print(json.dumps(result.summary(), indent=2))
     return 0

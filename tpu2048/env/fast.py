@@ -57,21 +57,30 @@ class FastEnvConfig:
 
 
 def for_backend(terminal_bonus: bool = True, batch_size: int = 0,
-                shards: int = 1) -> FastEnvConfig:
+                shards: int = 1, backend: Optional[str] = None) -> FastEnvConfig:
     """A FastEnvConfig tuned for the current JAX backend.
 
-    On TPU: the fused kernel with the on-core PRNG, block size clipped to
-    the per-shard batch. On CPU (tests, ``--cpu`` runs, the multichip
-    dry-run): interpret mode with external jax.random bits.
+    On TPU: the fused kernel with the on-core PRNG, block size set to the
+    largest divisor of the per-shard batch <= DEFAULT_BLOCK (the kernel
+    requires batch % block == 0). On CPU (tests, ``--cpu`` runs, the
+    multichip dry-run): interpret mode with external jax.random bits.
+    ``backend="lax"`` selects the op-by-op differential oracle (always
+    external-RNG).
     """
     on_cpu = jax.default_backend() == "cpu"
     per_shard = max(batch_size // max(shards, 1), 1)
-    block = min(ps.DEFAULT_BLOCK, per_shard) if batch_size else ps.DEFAULT_BLOCK
+    if batch_size:
+        block = min(ps.DEFAULT_BLOCK, per_shard)
+        while per_shard % block:
+            block -= 1
+    else:
+        block = ps.DEFAULT_BLOCK
     return FastEnvConfig(
         terminal_bonus=terminal_bonus,
         block_size=block,
         interpret=on_cpu,
-        external_rng=on_cpu,
+        external_rng=on_cpu or backend == "lax",
+        backend=backend or "pallas",
     )
 
 

@@ -19,8 +19,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu2048.env import EnvConfig, env as envlib
+from tpu2048.env import EnvConfig, SIMPLE, env as envlib
+from tpu2048.env import fast as fastlib
 from tpu2048.ops import board as board_ops
+from tpu2048.ops import pallas_step as ps
 
 PolicyFn = Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
 
@@ -137,8 +139,31 @@ def evaluate(
     env_config: EnvConfig = EnvConfig(reward="simple", auto_reset=False),
     batch_size: int = 512,
     max_steps: int = 4000,
+    engine: str = "auto",
+    fast_backend: str = None,
 ) -> EvalResult:
-    """Play ``num_games`` full games under ``policy``; collect stats."""
+    """Play ``num_games`` full games under ``policy``; collect stats.
+
+    ``engine``: "fast" rolls out on the fused Pallas step kernel (the
+    production default for simple-reward fixed semantics — the kernel
+    auto-resets finished boards, so the harness latches each board's FIRST
+    completion and ignores the free restarts); "lax" keeps the op-by-op
+    env (required for shaped/quirk modes); "auto" picks.
+    """
+    fast_ok = (
+        env_config.reward == SIMPLE and not env_config.quirk_compat
+    )
+    if engine == "auto":
+        engine = "fast" if fast_ok else "lax"
+    if engine == "fast":
+        if not fast_ok:
+            raise ValueError(
+                "engine='fast' requires simple-reward non-quirk semantics"
+            )
+        return _evaluate_fast(
+            policy, num_games, key, env_config, batch_size, max_steps,
+            fast_backend,
+        )
     env_config = dataclasses.replace(env_config, auto_reset=False)
     scores: List[np.ndarray] = []
     tiles: List[np.ndarray] = []
@@ -203,6 +228,96 @@ def evaluate(
         final_score = jnp.where(done, final_score, state.score)
         final_tile = jnp.where(
             done, final_tile, board_ops.max_tile_value(state.board)
+        )
+        final_len = jnp.where(done, final_len, state.episode_steps)
+        scores.append(np.asarray(final_score))
+        tiles.append(np.asarray(final_tile))
+        lengths.append(np.asarray(final_len))
+        action_counts += np.asarray(act_counts, np.int64)
+        remaining -= b
+
+    return EvalResult(
+        scores=np.concatenate(scores),
+        max_tiles=np.concatenate(tiles),
+        lengths=np.concatenate(lengths),
+        action_counts=action_counts,
+    )
+
+
+def _evaluate_fast(
+    policy, num_games, key, env_config, batch_size, max_steps, fast_backend
+) -> EvalResult:
+    """Fast-engine rollouts: one fused kernel launch per step.
+
+    The kernel auto-resets finished boards, so each lane's FIRST completion
+    is latched (score = pre-step episode score + the terminal move's merge
+    score; tile/length from the pre-reset timestep) and subsequent free
+    restarts are masked out of the action counts.
+    """
+    policy = as_policy(policy)
+    steps_per_call = 32
+    scores: List[np.ndarray] = []
+    tiles: List[np.ndarray] = []
+    lengths: List[np.ndarray] = []
+    action_counts = np.zeros(4, np.int64)
+
+    def chunk(fcfg, params, state, carry, key):
+        def body(c, k):
+            state, done, fs, ft, fl, ac = c
+            boards = ps.from_cell_major(state.boards)
+            actions = policy.fn(params, boards, state.legal, k)
+            ac = ac + jnp.sum(
+                jax.nn.one_hot(actions, 4, dtype=jnp.int32)
+                * (~done)[:, None].astype(jnp.int32),
+                axis=0,
+            )
+            new_state, ts = fastlib.fast_step(
+                fcfg, state, actions, need_legal=True
+            )
+            newly = ts.done & ~done
+            fs = jnp.where(newly, state.score + ts.merge_score, fs)
+            ft = jnp.where(newly, ts.max_number, ft)
+            fl = jnp.where(newly, ts.episode_steps, fl)
+            return (new_state, done | ts.done, fs, ft, fl, ac), None
+
+        keys = jax.random.split(key, steps_per_call)
+        (state, done, fs, ft, fl, ac), _ = jax.lax.scan(
+            body, (state, *carry), keys
+        )
+        return state, (done, fs, ft, fl, ac)
+
+    chunk = jax.jit(chunk, static_argnums=0)
+
+    remaining = num_games
+    while remaining > 0:
+        b = min(batch_size, remaining)
+        fcfg = fastlib.for_backend(
+            terminal_bonus=env_config.terminal_bonus,
+            batch_size=b,
+            backend=fast_backend,
+        )
+        key, k_reset = jax.random.split(key)
+        state = fastlib.fast_reset(fcfg, k_reset, b)
+        done = jnp.zeros((b,), bool)
+        final_score = jnp.zeros((b,), jnp.int32)
+        final_tile = jnp.zeros((b,), jnp.int32)
+        final_len = jnp.zeros((b,), jnp.int32)
+        act_counts = jnp.zeros((4,), jnp.int32)
+        for _ in range(max_steps // steps_per_call + 1):
+            key, k = jax.random.split(key)
+            state, (done, final_score, final_tile, final_len, act_counts) = (
+                chunk(
+                    fcfg, policy.params, state,
+                    (done, final_score, final_tile, final_len, act_counts), k,
+                )
+            )
+            if bool(done.all()):
+                break
+        # Any game hitting max_steps records its current standing.
+        live_boards = ps.from_cell_major(state.boards)
+        final_score = jnp.where(done, final_score, state.score)
+        final_tile = jnp.where(
+            done, final_tile, board_ops.max_tile_value(live_boards)
         )
         final_len = jnp.where(done, final_len, state.episode_steps)
         scores.append(np.asarray(final_score))

@@ -135,6 +135,23 @@ def dqn_loop_sharding(state, mesh: Mesh, model_parallel: int = 1):
     def shard_batched(tree):
         return jax.tree.map(lambda x: ns(_batch_spec(x)), tree)
 
+    def shard_env(env_state):
+        from tpu2048.env.fast import FastEnvState  # noqa: PLC0415
+
+        if not isinstance(env_state, FastEnvState):
+            return shard_batched(env_state)
+        # Fast env: boards are cell-major (16, B) — batch is axis 1; the
+        # legal mask is (B, 4); lane stats are (B,); the PRNG seed counter
+        # is a replicated scalar.
+        return env_state.replace(
+            boards=ns(P(None, DATA_AXIS)),
+            legal=ns(P(DATA_AXIS)),
+            score=ns(P(DATA_AXIS)),
+            episode_steps=ns(P(DATA_AXIS)),
+            episode_return=ns(P(DATA_AXIS)),
+            seed=ns(P()),
+        )
+
     param_specs = param_partition_spec(state.agent.params, model_parallel)
     params_sh = jax.tree.map(lambda s: ns(s), param_specs,
                              is_leaf=lambda x: isinstance(x, P))
@@ -177,7 +194,7 @@ def dqn_loop_sharding(state, mesh: Mesh, model_parallel: int = 1):
     # and parameter parts.
     base = jax.tree.map(lambda x: ns(P()), state)
     return base.replace(
-        env_state=shard_batched(state.env_state),
+        env_state=shard_env(state.env_state),
         dedup=shard_batched(state.dedup),
         buffer=shard_batched(state.buffer),
         agent=agent_sh,

@@ -44,10 +44,13 @@ def run_chunks(
 ) -> Dict[str, float]:
     from tpu2048.agents.dqn import DQNConfig, make_optimizer
     from tpu2048.env import EnvConfig, SIMPLE
+    from tpu2048.env.fast import make_sharded_kernel
     from tpu2048.parallel import MeshConfig, create_mesh, dqn_loop_sharding
     from tpu2048.training.dqn import (
         DQNTrainConfig,
+        fast_config,
         init_loop_state,
+        resolve_engine,
         train_chunk,
     )
 
@@ -86,8 +89,11 @@ def run_chunks(
     # Pin output shardings too: chunk N+1 consumes chunk N's output, so
     # letting the compiler choose would make the second call's args
     # disagree with in_shardings.
+    sk = None
+    if resolve_engine(config) == "fast":
+        sk = make_sharded_kernel(fast_config(config), mesh, need_legal=True)
     step = jax.jit(
-        lambda s: train_chunk(config, model, tx, s),
+        lambda s: train_chunk(config, model, tx, s, sharded_kernel=sk),
         in_shardings=(shardings,),
         out_shardings=(shardings, None, None),
     )

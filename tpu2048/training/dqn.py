@@ -43,7 +43,9 @@ from flax import struct
 from tpu2048.agents import dqn as dqnlib
 from tpu2048.env import EnvConfig, EnvState, SIMPLE
 from tpu2048.env import env as envlib
+from tpu2048.env import fast as fastlib
 from tpu2048.ops import board as board_ops
+from tpu2048.ops import pallas_step as ps
 from tpu2048.replay import sharded as replaylib
 
 
@@ -52,6 +54,14 @@ class DQNTrainConfig:
     agent: dqnlib.DQNConfig = dqnlib.DQNConfig()
     env: EnvConfig = EnvConfig(reward=SIMPLE, terminal_bonus=True)
     num_envs: int = 128
+    # Actor engine. "fast" = the fused Pallas step kernel
+    # (tpu2048/ops/pallas_step.py) — the production hot path, valid for
+    # SIMPLE-reward fixed (non-quirk) auto-reset semantics. "lax" = the
+    # op-by-op env (tpu2048/env/env.py) — required for shaped rewards,
+    # quirk-compat, and the trajectory-parity harness. "auto" picks "fast"
+    # whenever the env semantics allow.
+    engine: str = "auto"
+    fast_backend: Optional[str] = None  # None=auto, "pallas", "lax" (oracle)
     # Learner schedule. Default (updates_per_step=None): the reference's
     # regime — ``updates_per_episode`` updates owed per completed episode
     # (100 replay calls at episode end, mainDQL:223-226), drained as the
@@ -86,7 +96,7 @@ class DQNTrainConfig:
 class DQNLoopState:
     """Everything the training loop carries across jitted chunks."""
 
-    env_state: EnvState
+    env_state: EnvState  # or FastEnvState when the engine is "fast"
     dedup: dqnlib.DedupState
     buffer: replaylib.ReplayBuffer
     agent: dqnlib.DQNTrainState
@@ -106,12 +116,46 @@ class DQNLoopState:
     last_loss: jax.Array  # () f32
 
 
+def resolve_engine(config: DQNTrainConfig) -> str:
+    """Pick the actor engine; validate an explicit "fast" request."""
+    e = config.env
+    fast_ok = (
+        e.reward == SIMPLE and not e.quirk_compat and e.auto_reset
+    )
+    if config.engine == "auto":
+        return "fast" if fast_ok else "lax"
+    if config.engine == "fast" and not fast_ok:
+        raise ValueError(
+            "engine='fast' requires simple-reward, non-quirk, auto-reset "
+            f"env semantics (got {e})"
+        )
+    if config.engine not in ("fast", "lax"):
+        raise ValueError(f"unknown engine {config.engine!r}")
+    return config.engine
+
+
+def fast_config(config: DQNTrainConfig) -> fastlib.FastEnvConfig:
+    """The FastEnvConfig the fast engine runs under for this train config."""
+    return fastlib.for_backend(
+        terminal_bonus=config.env.terminal_bonus,
+        batch_size=config.num_envs,
+        shards=config.replay_shards,
+        backend=config.fast_backend,
+    )
+
+
 def init_loop_state(config: DQNTrainConfig):
     key = jax.random.PRNGKey(config.seed)
     k_env, k_agent, k_rng = jax.random.split(key, 3)
     model, agent_state = dqnlib.create_train_state(config.agent, k_agent)
+    if resolve_engine(config) == "fast":
+        env_state = fastlib.fast_reset(
+            fast_config(config), k_env, config.num_envs
+        )
+    else:
+        env_state = envlib.reset(config.env, k_env, config.num_envs)
     state = DQNLoopState(
-        env_state=envlib.reset(config.env, k_env, config.num_envs),
+        env_state=env_state,
         dedup=dqnlib.dedup_init(config.num_envs),
         buffer=replaylib.sharded_init(
             config.agent.memory_size, config.replay_shards
@@ -134,13 +178,22 @@ def init_loop_state(config: DQNTrainConfig):
     return model, state
 
 
-def train_chunk(config: DQNTrainConfig, model, tx, state: DQNLoopState):
+def train_chunk(config: DQNTrainConfig, model, tx, state: DQNLoopState,
+                sharded_kernel=None):
     """``steps_per_chunk`` vectorized actor steps with interleaved learning.
 
-    Jittable; donate ``state`` for in-place buffer updates.
+    Jittable; donate ``state`` for in-place buffer updates. With the fast
+    engine (resolve_engine) the actor runs on the fused Pallas step kernel —
+    legality, merge, spawn, game-over, and auto-reset in one launch
+    (pre-reset board + next legal mask emitted for replay/actor use); the
+    lax engine keeps the op-by-op env for shaped/quirk/parity modes.
+    ``sharded_kernel`` (from fastlib.make_sharded_kernel, need_legal=True)
+    routes the fast step through shard_map on multi-device meshes.
     """
     acfg = config.agent
     b = config.num_envs
+    engine = resolve_engine(config)
+    fcfg = fast_config(config) if engine == "fast" else None
 
     def learner_round(carry):
         agent, buffer, rng, loss_sum = carry
@@ -159,9 +212,13 @@ def train_chunk(config: DQNTrainConfig, model, tx, state: DQNLoopState):
 
         # --- actor ---------------------------------------------------------
         # (named scopes group HLO for profiling, metrics/profiling.py)
-        boards = st.env_state.board
-        with jax.named_scope("actor"):
-            legal = board_ops.legal_moves_mask(boards)
+        if engine == "fast":
+            boards = ps.from_cell_major(st.env_state.boards)
+            legal = st.env_state.legal  # kernel-emitted, never recomputed
+        else:
+            boards = st.env_state.board
+            with jax.named_scope("actor"):
+                legal = board_ops.legal_moves_mask(boards)
         eps = dqnlib.epsilon_value(acfg, st.agent.step_counter)
         actions = dqnlib.select_actions(
             model,
@@ -172,12 +229,22 @@ def train_chunk(config: DQNTrainConfig, model, tx, state: DQNLoopState):
             eps,
             k_act,
         )
-        env_state, ts = envlib.step(config.env, st.env_state, actions)
+        if engine == "fast":
+            with jax.named_scope("env_step_fused"):
+                env_state, ts = fastlib.fast_step(
+                    fcfg, st.env_state, actions,
+                    need_obs=True, need_legal=True,
+                    sharded_kernel=sharded_kernel,
+                )
+            next_boards = ps.from_cell_major(ts.obs)
+        else:
+            env_state, ts = envlib.step(config.env, st.env_state, actions)
+            next_boards = ts.obs
         save, dedup = dqnlib.dedup_mask(
-            st.dedup, boards, ts.obs, ts.done, acfg.dedup
+            st.dedup, boards, next_boards, ts.done, acfg.dedup
         )
         buffer = replaylib.sharded_add(
-            st.buffer, boards, actions, ts.reward, ts.done, ts.obs, save
+            st.buffer, boards, actions, ts.reward, ts.done, next_boards, save
         )
         agent = st.agent.replace(
             step_counter=st.agent.step_counter
@@ -227,7 +294,9 @@ def train_chunk(config: DQNTrainConfig, model, tx, state: DQNLoopState):
 
         # --- metrics -------------------------------------------------------
         done_f = ts.done.astype(jnp.float32)
-        final_exp = jnp.max(ts.obs.reshape(b, 16), axis=-1).astype(jnp.int32)
+        final_exp = jnp.max(
+            next_boards.reshape(b, 16), axis=-1
+        ).astype(jnp.int32)
         hist_inc = jax.ops.segment_sum(
             ts.done.astype(jnp.int32), jnp.clip(final_exp, 0, 16), num_segments=17
         )
@@ -345,8 +414,14 @@ def train(
             return {}
         return dict(in_shardings=(in_sh,), out_shardings=out_sh)
 
+    sharded_kernel = None
+    if mesh is not None and resolve_engine(config) == "fast":
+        sharded_kernel = fastlib.make_sharded_kernel(
+            fast_config(config), mesh, need_legal=True
+        )
     chunk = jax.jit(
-        lambda s: train_chunk(config, model, tx, s),
+        lambda s: train_chunk(config, model, tx, s,
+                              sharded_kernel=sharded_kernel),
         donate_argnums=0,
         **pin(shardings, (shardings, None, None)),
     )

@@ -24,8 +24,10 @@ import jax.numpy as jnp
 from flax import struct
 
 from tpu2048.agents import tabular as tab
-from tpu2048.env import EnvConfig, EnvState, SHAPED
+from tpu2048.env import EnvConfig, EnvState, SHAPED, SIMPLE
 from tpu2048.env import env as envlib
+from tpu2048.env import fast as fastlib
+from tpu2048.ops import pallas_step as ps
 
 
 @dataclasses.dataclass(frozen=True)
@@ -35,7 +37,35 @@ class TabularTrainConfig:
     batch_size: int = 1024
     total_episodes: int = 200_000  # reference trained 200k games (2048.pdf §5.1)
     steps_per_chunk: int = 256  # scan length per jit'd call
+    # Actor engine: "fast" = the fused Pallas step kernel (simple-reward
+    # fixed semantics only); "lax" = the op-by-op env (required for the
+    # shaped reward's stall counters / prev-max bonuses); "auto" picks.
+    engine: str = "auto"
+    fast_backend: Optional[str] = None  # None=auto, "pallas", "lax" (oracle)
     seed: int = 0
+
+
+def resolve_engine(config: TabularTrainConfig) -> str:
+    e = config.env
+    fast_ok = e.reward == SIMPLE and not e.quirk_compat and e.auto_reset
+    if config.engine == "auto":
+        return "fast" if fast_ok else "lax"
+    if config.engine == "fast" and not fast_ok:
+        raise ValueError(
+            "engine='fast' requires simple-reward, non-quirk, auto-reset "
+            f"env semantics (got {e})"
+        )
+    if config.engine not in ("fast", "lax"):
+        raise ValueError(f"unknown engine {config.engine!r}")
+    return config.engine
+
+
+def fast_config(config: TabularTrainConfig) -> fastlib.FastEnvConfig:
+    return fastlib.for_backend(
+        terminal_bonus=config.env.terminal_bonus,
+        batch_size=config.batch_size,
+        backend=config.fast_backend,
+    )
 
 
 @struct.dataclass
@@ -58,9 +88,15 @@ def init_train_state(config: TabularTrainConfig) -> TabularTrainState:
     k_env, k_rng = jax.random.split(key)
     # Note: every zero leaf is a fresh array (no aliasing) so the state can
     # be donated to jitted chunks.
+    if resolve_engine(config) == "fast":
+        env_state = fastlib.fast_reset(
+            fast_config(config), k_env, config.batch_size
+        )
+    else:
+        env_state = envlib.reset(config.env, k_env, config.batch_size)
     return TabularTrainState(
         table=tab.qtable_init(config.agent.capacity_log2),
-        env_state=envlib.reset(config.env, k_env, config.batch_size),
+        env_state=env_state,
         rng=k_rng,
         episodes_done=jnp.zeros((), jnp.int32),
         env_steps=jnp.zeros((), jnp.int32),
@@ -78,15 +114,28 @@ def train_chunk(config: TabularTrainConfig, state: TabularTrainState):
     env_cfg = config.env
     b = config.batch_size
 
+    engine = resolve_engine(config)
+    fcfg = fast_config(config) if engine == "fast" else None
+
     def body(st: TabularTrainState, _):
         rng, k_act = jax.random.split(st.rng)
         epoch = st.episodes_done.astype(jnp.float32) / b
         eps = tab.epsilon_for_epoch(epoch, agent_cfg)
-        boards = st.env_state.board
+        if engine == "fast":
+            boards = ps.from_cell_major(st.env_state.boards)
+        else:
+            boards = st.env_state.board
         actions = tab.choose_actions(st.table, boards, eps, k_act)
-        env_state, ts = envlib.step(env_cfg, st.env_state, actions)
+        if engine == "fast":
+            env_state, ts = fastlib.fast_step(
+                fcfg, st.env_state, actions, need_obs=True
+            )
+            next_boards = ps.from_cell_major(ts.obs)
+        else:
+            env_state, ts = envlib.step(env_cfg, st.env_state, actions)
+            next_boards = ts.obs
         targets = tab.q_learning_targets(
-            st.table, ts.reward, ts.obs, ts.done, agent_cfg.discount
+            st.table, ts.reward, next_boards, ts.done, agent_cfg.discount
         )
         table = tab.qtable_update(
             st.table, boards, actions, targets, agent_cfg.learning_rate
