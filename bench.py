@@ -8,6 +8,24 @@ under ``jit`` + ``lax.scan``.
 ``vs_baseline``: the north-star target is 50M env-steps/s on a v5e-8
 (BASELINE.json:5), i.e. 6.25M env-steps/s/chip; ``vs_baseline`` is the
 measured per-chip rate over that per-chip target (1.0 = on target).
+
+Secondary modes (each prints its own JSON line):
+
+* ``--learner``      DQN learner updates/s on the full 96.8M-param CNN.
+* ``--train-loop``   actor-side env-steps/s of the REAL DQN training chunk
+                     (fast engine + full-size CNN policy + dedup + replay
+                     insert; learner updates off) — the throughput of the
+                     hot loop the reference spends its life in
+                     (mainDQL_CNN_step2.py:160-237).
+* ``--tabular``      env-steps/s of the tabular training chunk (shaped env
+                     + hashed Q-table gather/scatter).
+* ``--scale N[,M..]``  DP scaling: the full DQN train chunk on an N-device
+                     mesh; one JSON line per N with steps/s/device and
+                     efficiency vs N=1 (the >=85% BASELINE.md target). On
+                     this one-chip machine run it on the CPU-sim mesh:
+                     ``XLA_FLAGS=--xla_force_host_platform_device_count=8
+                     JAX_PLATFORMS=cpu python bench.py --scale 1,2,4,8``
+                     (plumbing correctness now; real slice later).
 """
 
 import functools
@@ -140,10 +158,199 @@ def learner_main(
     )
 
 
+def _fence(x) -> float:
+    """Host-transfer fence (block_until_ready returns early on the tunnel)."""
+    import numpy as np
+
+    return float(np.asarray(x).reshape(-1)[0])
+
+
+def _train_loop_config(envs: int, full_model: bool = True):
+    from tpu2048.agents import dqn as dqnlib
+    from tpu2048.env import EnvConfig, SIMPLE
+    from tpu2048.training.dqn import DQNTrainConfig
+
+    agent = dqnlib.DQNConfig() if full_model else dqnlib.DQNConfig(
+        features=32, hidden=32, num_blocks=1, bf16=False, dropout=0.0
+    )
+    return DQNTrainConfig(
+        agent=agent,
+        env=EnvConfig(reward=SIMPLE, terminal_bonus=True),
+        num_envs=envs,
+        updates_per_step=0,  # actor side only
+        steps_per_chunk=64,
+    )
+
+
+def train_loop_main(envs: int = 128, chunks: int = 8) -> None:
+    """Actor-side env-steps/s of the real DQN training chunk.
+
+    The full production actor: kernel-emitted legal mask -> full-size CNN
+    epsilon-greedy (bf16) -> fused Pallas env step -> dedup -> replay
+    insert. ``vs_baseline`` is vs the same 6.25M/chip north star as the
+    raw env bench — the CNN forward dominates, so this is the honest
+    "how fast is the loop that trains" number.
+    """
+    from tpu2048.agents.dqn import make_optimizer
+    from tpu2048.training.dqn import init_loop_state, train_chunk
+
+    config = _train_loop_config(envs)
+    tx = make_optimizer(config.agent)
+    model, state = init_loop_state(config)
+    chunk = jax.jit(
+        lambda s: train_chunk(config, model, tx, s), donate_argnums=0
+    )
+    state, _, _ = chunk(state)  # compile + warm
+    _fence(state.env_steps)
+    t0 = time.perf_counter()
+    for _ in range(chunks):
+        state, _, _ = chunk(state)
+    _fence(state.env_steps)
+    dt = time.perf_counter() - t0
+    rate = envs * config.steps_per_chunk * chunks / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_loop_env_steps_per_s_per_chip",
+                "value": round(rate),
+                "unit": "steps/s",
+                "vs_baseline": round(rate / PER_CHIP_TARGET, 3),
+            }
+        )
+    )
+
+
+def tabular_main(batch: int = 4096, chunks: int = 4) -> None:
+    """Tabular training env-steps/s: shaped lax env + hashed Q-table
+    gather/scatter (agents/tabular.py) — the QLearningBase regime."""
+    from tpu2048.agents.tabular import TabularConfig
+    from tpu2048.training.tabular import (
+        TabularTrainConfig,
+        init_train_state,
+        train_chunk,
+    )
+
+    config = TabularTrainConfig(
+        agent=TabularConfig(capacity_log2=24, total_epochs=100),
+        batch_size=batch,
+        steps_per_chunk=256,
+    )
+    state = init_train_state(config)
+    chunk = jax.jit(
+        lambda s: train_chunk(config, s), donate_argnums=0
+    )
+    state, _ = chunk(state)
+    _fence(state.env_steps)
+    t0 = time.perf_counter()
+    for _ in range(chunks):
+        state, _ = chunk(state)
+    _fence(state.env_steps)
+    dt = time.perf_counter() - t0
+    rate = batch * config.steps_per_chunk * chunks / dt
+    print(
+        json.dumps(
+            {
+                "metric": "tabular_env_steps_per_s_per_chip",
+                "value": round(rate),
+                "unit": "steps/s",
+                "vs_baseline": round(rate / PER_CHIP_TARGET, 3),
+            }
+        )
+    )
+
+
+def scale_main(device_counts, envs_per_dev: int = 256,
+               chunks: int = 4) -> None:
+    """DP scaling of the full DQN train chunk over an N-device mesh.
+
+    One JSON line per N: env-steps/s/device + efficiency vs the N=1 rate.
+    Measures the whole production step (sharded fused-kernel actor, tiny
+    CNN so CPU-sim runs finish, sharded replay, psum'd learner update).
+    The >=85% BASELINE.md scaling target reads off ``efficiency``.
+    """
+    from tpu2048.agents.dqn import make_optimizer
+    from tpu2048.env.fast import make_sharded_kernel
+    from tpu2048.parallel import (
+        MeshConfig,
+        create_mesh,
+        dqn_loop_sharding,
+        place_loop_state,
+    )
+    from tpu2048.training.dqn import (
+        fast_config,
+        init_loop_state,
+        train_chunk,
+    )
+
+    import dataclasses
+
+    base_rate = None
+    for n in device_counts:
+        config = dataclasses.replace(
+            _train_loop_config(envs_per_dev * n, full_model=False),
+            updates_per_step=1,
+            train_batch=32 * n,
+            replay_shards=n,
+            steps_per_chunk=32,
+        )
+        config = dataclasses.replace(
+            config,
+            agent=dataclasses.replace(config.agent, memory_size=4096 * n),
+        )
+        mesh = create_mesh(
+            MeshConfig(data_parallel=n), devices=jax.devices()[:n]
+        )
+        tx = make_optimizer(config.agent)
+        model, state = init_loop_state(config)
+        shardings = dqn_loop_sharding(state, mesh, 1)
+        state = place_loop_state(state, shardings)
+        sk = make_sharded_kernel(fast_config(config), mesh, need_legal=True)
+        chunk = jax.jit(
+            lambda s, c=config, m=model, t=tx, k=sk: train_chunk(
+                c, m, t, s, sharded_kernel=k
+            ),
+            donate_argnums=0,
+            in_shardings=(shardings,),
+            out_shardings=(shardings, None, None),
+        )
+        state, _, _ = chunk(state)
+        _fence(state.env_steps)
+        t0 = time.perf_counter()
+        for _ in range(chunks):
+            state, _, _ = chunk(state)
+        _fence(state.env_steps)
+        dt = time.perf_counter() - t0
+        rate = config.num_envs * config.steps_per_chunk * chunks / dt
+        per_dev = rate / n
+        if base_rate is None:
+            base_rate = per_dev
+        print(
+            json.dumps(
+                {
+                    "metric": "dp_scaling_env_steps_per_s_per_device",
+                    "devices": n,
+                    "value": round(per_dev),
+                    "unit": "steps/s/device",
+                    "efficiency": round(per_dev / base_rate, 3),
+                    "vs_baseline": round(
+                        (per_dev / base_rate) / 0.85, 3
+                    ),
+                }
+            )
+        )
+
+
 if __name__ == "__main__":
     import sys
 
     if "--learner" in sys.argv:
         learner_main()
+    elif "--train-loop" in sys.argv:
+        train_loop_main()
+    elif "--tabular" in sys.argv:
+        tabular_main()
+    elif "--scale" in sys.argv:
+        arg = sys.argv[sys.argv.index("--scale") + 1]
+        scale_main([int(x) for x in arg.split(",")])
     else:
         main()

@@ -29,7 +29,12 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-PROBES = 8  # linear-probe window
+# Linear-probe window. Sized for a 200k-game run: ~10M distinct states in
+# a 2**25 table is load factor ~0.3, where a 16-slot window makes insert
+# failure (a dropped update) vanishingly rare; the r1 run of record at
+# PROBES=8 / 2**24 (load ~0.6) dropped ~17% of fresh-state inserts late in
+# training.
+PROBES = 16
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,7 +46,7 @@ class TabularConfig:
     exploration_rate: float = 1.0
     exploration_min: float = 0.01
     total_epochs: int = 20000
-    capacity_log2: int = 24  # Q-table slots = 2**capacity_log2 (~0.4 GB; 2048 states rarely repeat)
+    capacity_log2: int = 25  # Q-table slots = 2**capacity_log2 (~0.8 GB HBM; a 200k-game run visits ~10M states)
 
 
 @struct.dataclass

@@ -61,7 +61,7 @@ def _add_tabular_args(p: argparse.ArgumentParser) -> None:
                    help="initial exploration rate")
     p.add_argument("--epsilon-min", type=float, default=0.01)
     p.add_argument("--batch", type=int, default=1024, help="parallel envs")
-    p.add_argument("--capacity-log2", type=int, default=24,
+    p.add_argument("--capacity-log2", type=int, default=25,
                    help="Q-table slots = 2**N")
     p.add_argument("--reward", choices=["shaped", "simple"], default="shaped")
     p.add_argument("--engine", choices=["auto", "fast", "lax"], default="auto",
@@ -418,6 +418,12 @@ def cmd_bench(args) -> int:
 
     if args.learner:
         _bench.learner_main(batch=args.train_batch, updates=args.updates)
+    elif args.train_loop:
+        _bench.train_loop_main()
+    elif args.tabular:
+        _bench.tabular_main()
+    elif args.scale:
+        _bench.scale_main([int(x) for x in args.scale.split(",")])
     else:
         _bench.main(batch=args.batch, steps=args.steps)
     return 0
@@ -483,6 +489,15 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--learner", action="store_true",
                     help="benchmark DQN learner updates/s (full-size CNN) "
                     "instead of env steps/s")
+    pb.add_argument("--train-loop", action="store_true",
+                    help="benchmark the real DQN training chunk's "
+                    "actor-side env steps/s (full-size CNN policy)")
+    pb.add_argument("--tabular", action="store_true",
+                    help="benchmark the tabular training chunk's env "
+                    "steps/s (shaped env + hashed Q-table)")
+    pb.add_argument("--scale", type=str, default=None,
+                    help="comma-separated device counts for the DP "
+                    "scaling bench (e.g. 1,2,4,8)")
     pb.add_argument("--train-batch", type=int, default=64)
     pb.add_argument("--updates", type=int, default=200)
     pb.set_defaults(fn=cmd_bench)
