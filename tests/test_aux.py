@@ -84,3 +84,33 @@ def test_jsonl_and_csv_loggers_roundtrip(tmp_path):
     with open(cpath) as fh:
         got = list(csv.reader(fh))
     assert got[0] == ["a", "b"] and got[1] == ["1", "x"]
+
+
+def test_analyze_milestones_and_wins(tmp_path):
+    """`analyze` recovers the reference-comparable numbers (first-tile
+    episodes, wins from the final-tile histogram) from a metrics log."""
+    import json
+
+    from tpu2048.metrics.analyze import analyze
+
+    rows = [
+        {"episodes": 10, "env_steps": 1000, "best_tile": 256,
+         "tile_hist": [0] * 17, "mean_score": 100.0, "train_steps": 10},
+        {"episodes": 30, "env_steps": 3000, "best_tile": 1024,
+         "tile_hist": [0] * 17, "mean_score": 500.0, "train_steps": 30},
+        {"episodes": 90, "env_steps": 9000, "best_tile": 2048,
+         "tile_hist": [0, 0, 0, 0, 0, 0, 0, 1, 2, 40, 44, 3, 0, 0, 0, 0, 0],
+         "mean_score": 900.0, "train_steps": 90,
+         "action_counts": [70, 10, 10, 10]},
+    ]
+    path = tmp_path / "m.jsonl"
+    path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = analyze(str(path))
+    assert out["episodes"] == 90
+    assert out["first_256_by_episode"] == 10
+    assert out["first_512_by_episode"] == 30
+    assert out["first_1024_by_episode"] == 30
+    assert out["first_2048_by_episode"] == 90
+    assert out["games_won_2048"] == 3
+    assert out["final_tile_distribution"]["2048"] == 3
+    assert out["action_fractions"]["L"] == 0.7

@@ -405,6 +405,13 @@ def cmd_gui(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    from tpu2048.metrics.analyze import main as analyze_main
+
+    analyze_main(args.log)
+    return 0
+
+
 def cmd_plot(args) -> int:
     from tpu2048.metrics import plot_from_jsonl
 
@@ -482,6 +489,12 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--log", type=str, required=True)
     pp.add_argument("--out", type=str, required=True)
     pp.set_defaults(fn=cmd_plot)
+
+    pa = sub.add_parser("analyze",
+                        help="milestone timings + win stats from a "
+                             "metrics.jsonl (reference-comparable numbers)")
+    pa.add_argument("--log", type=str, required=True)
+    pa.set_defaults(fn=cmd_analyze)
 
     pb = sub.add_parser("bench", help="throughput benchmarks")
     pb.add_argument("--batch", type=int, default=65536)

@@ -1,0 +1,83 @@
+"""Training-run analysis: milestone timings and win statistics.
+
+The reference's headline learning-quality numbers are episode-indexed
+milestones — "2048 reached at episode 1858" (the artifact name
+dqn_model_2048_2048_1858.h5, GameDemo.py:208) and the max-tile frequency
+table (2048.pdf §5.1). This module recovers the same quantities from a
+run's metrics.jsonl so runs of record are comparable to the reference
+with one command:
+
+    python -m tpu2048 analyze --log runs/dqn_r2/metrics.jsonl
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional
+
+
+def load_rows(path: str) -> List[dict]:
+    rows = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    return rows
+
+
+def first_episode_at_tile(rows: List[dict], tile: int) -> Optional[int]:
+    """First logged episode count whose running best tile reached ``tile``.
+
+    Upper bound within one chunk's episodes (logging is per chunk, the
+    reference logged per episode).
+    """
+    for row in rows:
+        if row.get("best_tile", 0) >= tile:
+            return row["episodes"]
+    return None
+
+
+def analyze(path: str) -> dict:
+    rows = load_rows(path)
+    if not rows:
+        return {"error": f"no rows in {path}"}
+    last = rows[-1]
+    out = {
+        "log": path,
+        "episodes": last.get("episodes"),
+        "env_steps": last.get("env_steps"),
+        "best_tile": last.get("best_tile"),
+    }
+    for tile in (256, 512, 1024, 2048):
+        out[f"first_{tile}_by_episode"] = first_episode_at_tile(rows, tile)
+    hist = last.get("tile_hist")
+    if hist:
+        # tile_hist[k] = episodes whose final board's max exponent was k.
+        total = sum(hist) or 1
+        out["games_won_2048"] = sum(hist[11:])
+        out["final_tile_distribution"] = {
+            str(1 << k): c for k, c in enumerate(hist) if c and k > 0
+        }
+        out["win_rate"] = round(sum(hist[11:]) / total, 4)
+    if "train_steps" in last:
+        out["train_steps"] = last["train_steps"]
+    if "mean_score" in last:
+        # Late-training score: average of the last 10 chunk windows.
+        tail = rows[-10:]
+        out["late_mean_score"] = round(
+            sum(r.get("mean_score", 0.0) for r in tail) / len(tail), 1
+        )
+    if "dropped_updates" in last:
+        out["dropped_updates"] = last["dropped_updates"]
+    if "action_counts" in last:
+        ac = last["action_counts"]
+        tot = sum(ac) or 1
+        out["action_fractions"] = {
+            k: round(c / tot, 4) for k, c in zip("LURD", ac)
+        }
+    return out
+
+
+def main(path: str) -> None:
+    print(json.dumps(analyze(path), indent=2))
