@@ -134,6 +134,16 @@ def _add_dqn_args(p: argparse.ArgumentParser) -> None:
                         "(reference load_memory pruned 99)")
     p.add_argument("--rollback", action="store_true",
                    help="enable the block rollback-on-regression policy")
+    p.add_argument("--rollback-store", choices=["memory", "disk"],
+                   default="memory",
+                   help="block checkpoints in HBM (ms-scale save/restore; "
+                        "default) or as durable Orbax named checkpoints")
+    p.add_argument("--rollback-block", type=int, default=20,
+                   help="episodes per rollback comparison block "
+                        "(reference BLOCK_SIZE, mainDQL:109)")
+    p.add_argument("--rollback-drop", type=float, default=50.0,
+                   help="avg final-max-tile drop vs the previous block "
+                        "that triggers a restore (mainDQL:287)")
     p.add_argument("--plot-every", type=int, default=0,
                    help="regenerate the 3-panel training plot every N "
                         "episodes (reference: 10, mainDQL:270; 0 = off)")
@@ -200,6 +210,9 @@ def _dqn_config(args):
         replay_shards=args.replay_shards,
         checkpoint_episodes=getattr(args, "checkpoint_every", 100),
         rollback=args.rollback,
+        rollback_store=getattr(args, "rollback_store", "memory"),
+        rollback_block=getattr(args, "rollback_block", 20),
+        rollback_drop=getattr(args, "rollback_drop", 50.0),
         prune_on_resume=getattr(args, "prune_on_resume", 0),
         trace_env0=bool(getattr(args, "debug_csv", None)),
         seed=args.seed,

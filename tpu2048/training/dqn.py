@@ -85,6 +85,13 @@ class DQNTrainConfig:
     rollback_block: int = 20  # BLOCK_SIZE, mainDQL:109
     rollback_drop: float = 50.0  # avg max-tile drop triggering restore
     rollback_max_consecutive: int = 2  # mainDQL:292
+    # Where block checkpoints live. "memory" (default) keeps a second
+    # copy of the loop state resident in HBM (~1.6 GB for the full-size
+    # model) so save/restore are device-side copies (~ms) — the
+    # reference's 20-episode cadence is unusable with disk checkpoints
+    # through a tunneled TPU runtime (40-140 s per 1.5 GB save). "disk"
+    # uses Orbax named checkpoints (durable across crashes).
+    rollback_store: str = "memory"
     prune_on_resume: int = 0  # drop N worst episodes after restore
     # (the reference's load_memory pruned 99, Dqn8:490-502)
     trace_env0: bool = False  # per-step debug trace of env 0 (the
@@ -451,6 +458,8 @@ def train(
         tiles=float(state.sum_final_tile),
         prev_avg=None,
         restored=0,
+        rollbacks=0,
+        mem=None,  # HBM-resident block checkpoint (rollback_store="memory")
     )
     env0_episode = 0
     while int(state.episodes_done) < total_episodes:
@@ -502,22 +511,36 @@ def train(
             last_ckpt = ep
 
         # Rollback-on-regression (mainDQL:278-314).
+        use_mem = config.rollback_store == "memory"
         if (
             config.rollback
-            and ckpt_manager is not None
+            and (use_mem or ckpt_manager is not None)
             and ep // config.rollback_block > block["idx"]
         ):
             block["idx"] = ep // config.rollback_block
             d_ep_blk = max(ep - block["ep"], 1)
             avg = (float(state.sum_final_tile) - block["tiles"]) / d_ep_blk
+            has_backup = (
+                block["mem"] is not None if use_mem
+                else ckpt_manager.has_named("block_checkpoint")
+            )
             if (
                 block["prev_avg"] is not None
                 and (block["prev_avg"] - avg) > config.rollback_drop
                 and block["restored"] < config.rollback_max_consecutive
-                and ckpt_manager.has_named("block_checkpoint")
+                and has_backup
             ):
-                state = ckpt_manager.restore_named("block_checkpoint", state)
+                if use_mem:
+                    # Hand a COPY to the training loop: the chunk donates
+                    # its input buffers, and the backup must survive for
+                    # the next (possibly consecutive) restore.
+                    state = jax.tree.map(jnp.copy, block["mem"])
+                else:
+                    state = ckpt_manager.restore_named(
+                        "block_checkpoint", state
+                    )
                 block["restored"] += 1
+                block["rollbacks"] += 1
                 ep = int(state.episodes_done)
                 # prev_avg intentionally kept (mainDQL:299).
                 # Rewind the periodic-op bookkeeping to the restored
@@ -527,8 +550,22 @@ def train(
                 last_prune = min(last_prune, ep)
                 last_ckpt = min(last_ckpt, ep)
                 prev["best"] = int(state.best_tile)
+                # Rewind the per-row delta baselines too: the restored
+                # cumulative sums are older than prev's, and without this
+                # the first post-restore row reports negative means.
+                prev.update(
+                    ep=ep,
+                    ret=float(state.sum_return),
+                    score=float(state.sum_score),
+                    length=float(state.sum_length),
+                    loss=float(state.loss_sum),
+                    nloss=int(state.loss_count),
+                )
             else:
-                ckpt_manager.save_named("block_checkpoint", state)
+                if use_mem:
+                    block["mem"] = jax.tree.map(jnp.copy, state)
+                else:
+                    ckpt_manager.save_named("block_checkpoint", state)
                 block["prev_avg"] = avg
                 block["restored"] = 0
             block["ep"] = int(state.episodes_done)
@@ -555,6 +592,8 @@ def train(
             * config.steps_per_chunk
             / max(now - prev["t"], 1e-9),
         }
+        if config.rollback:
+            row["rollbacks"] = block["rollbacks"]
         prev.update(
             ep=ep,
             ret=float(state.sum_return),
