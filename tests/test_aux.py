@@ -114,3 +114,25 @@ def test_analyze_milestones_and_wins(tmp_path):
     assert out["games_won_2048"] == 3
     assert out["final_tile_distribution"]["2048"] == 3
     assert out["action_fractions"]["L"] == 0.7
+
+
+def test_analyze_rollback_stats(tmp_path):
+    """Rollback restores rewind the per-row episode counter; analyze
+    reports the restore count and total episodes replayed."""
+    import json
+
+    from tpu2048.metrics.analyze import analyze
+
+    rows = [
+        {"episodes": 20, "best_tile": 128, "rollbacks": 0},
+        {"episodes": 40, "best_tile": 128, "rollbacks": 0},
+        {"episodes": 25, "best_tile": 128, "rollbacks": 1},  # rewound 15
+        {"episodes": 45, "best_tile": 256, "rollbacks": 1},
+        {"episodes": 41, "best_tile": 256, "rollbacks": 2},  # rewound 4
+        {"episodes": 60, "best_tile": 256, "rollbacks": 2},
+    ]
+    path = tmp_path / "m.jsonl"
+    path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = analyze(str(path))
+    assert out["rollbacks"] == 2
+    assert out["episodes_replayed"] == 19

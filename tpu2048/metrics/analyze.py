@@ -70,6 +70,15 @@ def analyze(path: str) -> dict:
         )
     if "dropped_updates" in last:
         out["dropped_updates"] = last["dropped_updates"]
+    if "rollbacks" in last:
+        # Rollback-on-regression activity (mainDQL:278-314): restore count
+        # plus how many episodes were rewound and replayed in total (the
+        # per-row episode counter drops at each restore).
+        out["rollbacks"] = last["rollbacks"]
+        eps = [r["episodes"] for r in rows]
+        out["episodes_replayed"] = sum(
+            a - b for a, b in zip(eps, eps[1:]) if a > b
+        )
     if "action_counts" in last:
         ac = last["action_counts"]
         tot = sum(ac) or 1
