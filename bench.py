@@ -350,7 +350,9 @@ if __name__ == "__main__":
     elif "--tabular" in sys.argv:
         tabular_main()
     elif "--scale" in sys.argv:
-        arg = sys.argv[sys.argv.index("--scale") + 1]
-        scale_main([int(x) for x in arg.split(",")])
+        i = sys.argv.index("--scale") + 1
+        if i >= len(sys.argv):
+            sys.exit("usage: bench.py --scale N[,M..]  (e.g. --scale 1,2,4,8)")
+        scale_main([int(x) for x in sys.argv[i].split(",")])
     else:
         main()

@@ -152,6 +152,19 @@ def test_eval_uses_saved_run_config(tmp_path):
     summary = json.loads(buf.getvalue())
     assert summary["games"] == 4
 
+    # Explicit CLI flags WIN over the saved config: forcing --engine lax
+    # on eval must not be clobbered by config.json's engine (an A/B or
+    # parity-debug eval has to be able to pin the engine).
+    from tpu2048.cli.main import _load_run_config, build_parser
+
+    argv = ["eval", "--policy", "model", "--checkpoint-dir", str(ckpt),
+            "--games", "4", "--engine", "lax"]
+    args = build_parser().parse_args(argv)
+    args._argv = argv
+    args = _load_run_config(args, str(ckpt))
+    assert args.engine == "lax"
+    assert args.features == 8  # non-overridden keys still load
+
 
 def test_game_session_manual_and_reset():
     from tpu2048.eval.demo import GameSession

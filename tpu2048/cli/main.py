@@ -40,16 +40,51 @@ def _save_run_config(args, directory: str) -> None:
         json.dump(payload, fh, indent=2)
 
 
+def _user_specified(args, dest: str) -> bool:
+    """True if the flag for ``dest`` appeared explicitly on the command
+    line (``--some-flag`` style or ``--flag=value``). Reads the argv the
+    parser actually consumed (main() stashes it on the namespace), so
+    programmatic ``main([...])`` calls behave like real invocations."""
+    argv = getattr(args, "_argv", None)
+    if argv is None:
+        argv = sys.argv[1:]
+    flag = "--" + dest.replace("_", "-")
+    return any(a == flag or a.startswith(flag + "=") for a in argv)
+
+
 def _load_run_config(args, directory: str):
-    """Overlay a saved config.json (if present) onto the CLI args."""
+    """Overlay a saved config.json (if present) onto the CLI args.
+
+    Flags the user passed explicitly win over the saved config — e.g.
+    ``eval --policy model --engine lax`` must actually run the lax
+    engine for an A/B or parity-debug eval, even though the training
+    run recorded ``engine`` in its config.json."""
     path = os.path.join(directory, "config.json")
     if not os.path.isfile(path):
         return args
     with open(path) as fh:
         payload = json.load(fh)
     for k, v in payload.items():
-        setattr(args, k, v)
+        if not _user_specified(args, k):
+            setattr(args, k, v)
     return args
+
+
+def _restore_config(args, directory: str):
+    """The train config for building a checkpoint-restore TEMPLATE.
+
+    The saved loop state's env-state TYPE follows the engine the run was
+    trained with (FastEnvState vs EnvState), so the template must use the
+    engine from config.json even when this eval/demo invocation overrides
+    --engine for the rollout itself."""
+    cfg = _dqn_config(args)
+    path = os.path.join(directory, "config.json")
+    if os.path.isfile(path):
+        with open(path) as fh:
+            saved = json.load(fh).get("engine")
+        if saved and saved != cfg.engine:
+            cfg = dataclasses.replace(cfg, engine=saved)
+    return cfg
 
 
 def _add_tabular_args(p: argparse.ArgumentParser) -> None:
@@ -345,7 +380,7 @@ def cmd_eval(args) -> int:
         from tpu2048.models.dqn import create_model
 
         args = _load_run_config(args, args.checkpoint_dir)
-        cfg = _dqn_config(args)
+        cfg = _restore_config(args, args.checkpoint_dir)
         step, params = restore_params_only(
             args.checkpoint_dir, args.step, cfg
         )
@@ -392,7 +427,7 @@ def _demo_policy(args):
     from tpu2048.models.dqn import create_model
 
     args = _load_run_config(args, args.checkpoint_dir)
-    cfg = _dqn_config(args)
+    cfg = _restore_config(args, args.checkpoint_dir)
     step, params = restore_params_only(args.checkpoint_dir, args.step, cfg)
     if params is None:
         raise SystemExit(f"no checkpoint found in {args.checkpoint_dir}")
@@ -439,9 +474,10 @@ def cmd_bench(args) -> int:
     if args.learner:
         _bench.learner_main(batch=args.train_batch, updates=args.updates)
     elif args.train_loop:
-        _bench.train_loop_main()
+        _bench.train_loop_main(envs=args.envs)
     elif args.tabular:
-        _bench.tabular_main()
+        _bench.tabular_main(batch=args.batch if _user_specified(args, "batch")
+                            else 4096)
     elif args.scale:
         _bench.scale_main([int(x) for x in args.scale.split(",")])
     else:
@@ -526,12 +562,17 @@ def build_parser() -> argparse.ArgumentParser:
                     "scaling bench (e.g. 1,2,4,8)")
     pb.add_argument("--train-batch", type=int, default=64)
     pb.add_argument("--updates", type=int, default=200)
+    pb.add_argument("--envs", type=int, default=128,
+                    help="env count for --train-loop")
     pb.set_defaults(fn=cmd_bench)
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # Stash the consumed argv so "did the user explicitly pass this flag"
+    # checks work for programmatic main([...]) calls too.
+    args._argv = list(sys.argv[1:] if argv is None else argv)
     if getattr(args, "cpu", False):
         import jax
 

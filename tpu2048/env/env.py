@@ -136,18 +136,15 @@ def step(config: EnvConfig, state: EnvState, action) -> Tuple[EnvState, TimeStep
     state = state.replace(rng=new_rng)
 
     merged, merge_score, valid = _apply_action(state.board, action)
+    quirk_pre = None
     if config.reward == SIMPLE and config.quirk_compat:
         # In quirk mode the spawn can land on the probe board (the
         # is_game_over clobber branch, nopenalty:68-78), whose empty count
         # differs from ``merged``'s — draw the spawn index from the board
         # actually spawned onto, else a full-but-playable board collapses
         # to a first-empty bias instead of uniform-over-empties.
-        pre_legal = board_ops.legal_moves_mask(state.board)
-        game_over = ~jnp.any(pre_legal, axis=-1)
-        full = ~jnp.any(state.board == 0, axis=(-1, -2))
-        clobber = full & ~game_over
-        first_legal = jnp.argmax(pre_legal, axis=-1)
-        probe_b, _, _ = _apply_action(state.board, first_legal)
+        quirk_pre = _quirk_probe(state.board)
+        pre_legal, clobber, probe_b, _ = quirk_pre
         visible = jnp.where(clobber[:, None, None], probe_b, merged)
         spawn_idx, spawn_val = jax.vmap(board_ops.sample_spawn)(
             visible, step_keys
@@ -158,7 +155,7 @@ def step(config: EnvConfig, state: EnvState, action) -> Tuple[EnvState, TimeStep
         )
     new_state, ts = step_with_spawn(
         config, state, action, spawn_idx, spawn_val,
-        _precomputed=(merged, merge_score, valid),
+        _precomputed=(merged, merge_score, valid, quirk_pre),
     )
     if config.auto_reset:
         k_reset = jax.vmap(lambda k: jax.random.fold_in(k, 1))(step_keys)
@@ -169,6 +166,20 @@ def step(config: EnvConfig, state: EnvState, action) -> Tuple[EnvState, TimeStep
 def _apply_action(board, action):
     cand_b, cand_s, cand_m = board_ops.move_all(board)
     return board_ops.select_move(cand_b, cand_s, cand_m, action)
+
+
+def _quirk_probe(board):
+    """Quirk-mode pre-move probe (nopenalty:68-78): legal mask of the
+    PRE-move board, the full-but-playable "clobber" flag, and the
+    first-legal-move probe board that is_game_over leaves behind.
+    Computed once per step and threaded to step_with_spawn."""
+    pre_legal = board_ops.legal_moves_mask(board)
+    game_over = ~jnp.any(pre_legal, axis=-1)
+    full = ~jnp.any(board == 0, axis=(-1, -2))
+    clobber = full & ~game_over
+    first_legal = jnp.argmax(pre_legal, axis=-1)
+    probe_b, _, probe_m = _apply_action(board, first_legal)
+    return pre_legal, clobber, probe_b, probe_m
 
 
 def step_with_spawn(
@@ -188,8 +199,11 @@ def step_with_spawn(
     """
     old_board = state.board
     action = jnp.asarray(action, jnp.int32)
+    quirk_pre = None
     if _precomputed is None:
         merged, merge_score, valid = _apply_action(old_board, action)
+    elif len(_precomputed) == 4:
+        merged, merge_score, valid, quirk_pre = _precomputed
     else:
         merged, merge_score, valid = _precomputed
 
@@ -228,12 +242,10 @@ def step_with_spawn(
             # is full but playable, is_game_over's probe loop leaves
             # moved_board = first-legal-move(board) + spawn, and THAT board
             # is returned/committed (nopenalty:68-78,109,120).
-            pre_legal = board_ops.legal_moves_mask(old_board)
+            if quirk_pre is None:
+                quirk_pre = _quirk_probe(old_board)
+            pre_legal, clobber, probe_b, probe_m = quirk_pre
             game_over = ~jnp.any(pre_legal, axis=-1)
-            full = ~jnp.any(old_board == 0, axis=(-1, -2))
-            clobber = full & ~game_over
-            first_legal = jnp.argmax(pre_legal, axis=-1)
-            probe_b, _, probe_m = _apply_action(old_board, first_legal)
             visible_merged = jnp.where(clobber[:, None, None], probe_b, merged)
             spawn_board = jax.vmap(board_ops.spawn_at)(
                 visible_merged, spawn_idx, spawn_val

@@ -56,6 +56,48 @@ class FastEnvConfig:
             raise ValueError("backend='lax' requires external_rng=True")
 
 
+def resolve_engine(env_config, engine: str,
+                   require_auto_reset: bool = True) -> str:
+    """THE fast-engine eligibility rule, shared by every driver.
+
+    The fused kernel implements exactly the simple-reward
+    (nopenalty:122-138), non-quirk, auto-resetting semantics; anything
+    else needs the op-by-op lax env. ``require_auto_reset=False`` is for
+    the eval harness, which latches each board's first completion and so
+    tolerates (ignores) the kernel's free auto-restarts.
+
+    "auto" picks "fast" when eligible; an explicit "fast" on an
+    ineligible env raises.
+    """
+    from tpu2048.env.env import SIMPLE  # local import: no cycle
+
+    fast_ok = (
+        env_config.reward == SIMPLE
+        and not env_config.quirk_compat
+        and (env_config.auto_reset or not require_auto_reset)
+    )
+    if engine == "auto":
+        return "fast" if fast_ok else "lax"
+    if engine == "fast" and not fast_ok:
+        raise ValueError(
+            "engine='fast' requires simple-reward, non-quirk"
+            + (", auto-reset" if require_auto_reset else "")
+            + f" env semantics (got {env_config})"
+        )
+    if engine not in ("fast", "lax"):
+        raise ValueError(f"unknown engine {engine!r}")
+    return engine
+
+
+def fit_block(batch: int, block: int) -> int:
+    """Largest divisor of ``batch`` that is <= ``block`` (the kernel
+    requires batch % block == 0)."""
+    block = max(min(block, batch), 1)
+    while batch % block:
+        block -= 1
+    return block
+
+
 def for_backend(terminal_bonus: bool = True, batch_size: int = 0,
                 shards: int = 1, backend: Optional[str] = None) -> FastEnvConfig:
     """A FastEnvConfig tuned for the current JAX backend.
@@ -69,12 +111,8 @@ def for_backend(terminal_bonus: bool = True, batch_size: int = 0,
     """
     on_cpu = jax.default_backend() == "cpu"
     per_shard = max(batch_size // max(shards, 1), 1)
-    if batch_size:
-        block = min(ps.DEFAULT_BLOCK, per_shard)
-        while per_shard % block:
-            block -= 1
-    else:
-        block = ps.DEFAULT_BLOCK
+    block = fit_block(per_shard, ps.DEFAULT_BLOCK) if batch_size \
+        else ps.DEFAULT_BLOCK
     return FastEnvConfig(
         terminal_bonus=terminal_bonus,
         block_size=block,
@@ -125,15 +163,14 @@ def fast_reset(config: FastEnvConfig, key, batch_size: int) -> FastEnvState:
     )
 
 
-def _uniform_mod(bits, n):
-    """Mirror of the kernel's draw: (bits >> 1) % max(n, 1)."""
-    return (bits >> jnp.uint32(1)).astype(jnp.int32) % jnp.maximum(n, 1)
+# The kernel's OWN draw helpers — shared, not mirrored, so the oracle
+# cannot silently diverge from the kernel on a one-sided edit. Bit
+# parity of lax_fast_step vs fused_env_step hangs on these.
+_uniform_mod = ps._uniform_mod
 
 
 def _tile_value(bits):
-    return jnp.where(
-        (bits % jnp.uint32(10)) < jnp.uint32(9), jnp.int8(1), jnp.int8(2)
-    )
+    return ps._tile_value(bits).astype(jnp.int8)
 
 
 def lax_fast_step(boards_cm, actions, rng_bits):
@@ -243,7 +280,12 @@ def make_sharded_kernel(
             actions,
             seed,
             rng_bits,
-            block_size=config.block_size,
+            # Fit to the PER-DEVICE shard here (boards is the local
+            # slice at trace time): config.block_size was derived from
+            # the replay layout, which need not match the mesh's data
+            # axis (e.g. programmatic train() with replay_shards=1 on
+            # an 8-device mesh).
+            block_size=fit_block(boards.shape[1], config.block_size),
             emit_pre_reset=True,
             emit_legal=need_legal,
             interpret=config.interpret,
@@ -314,7 +356,7 @@ def fast_step(
             actions,
             state.seed,
             rng_bits,
-            block_size=config.block_size,
+            block_size=fit_block(b, config.block_size),
             emit_pre_reset=need_obs,
             emit_legal=need_legal,
             interpret=config.interpret,

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu2048.env import EnvConfig, SIMPLE, env as envlib
+from tpu2048.env import EnvConfig, env as envlib
 from tpu2048.env import fast as fastlib
 from tpu2048.ops import board as board_ops
 from tpu2048.ops import pallas_step as ps
@@ -150,16 +150,12 @@ def evaluate(
     completion and ignores the free restarts); "lax" keeps the op-by-op
     env (required for shaped/quirk modes); "auto" picks.
     """
-    fast_ok = (
-        env_config.reward == SIMPLE and not env_config.quirk_compat
+    from tpu2048.env import fast as fastlib
+
+    engine = fastlib.resolve_engine(
+        env_config, engine, require_auto_reset=False
     )
-    if engine == "auto":
-        engine = "fast" if fast_ok else "lax"
     if engine == "fast":
-        if not fast_ok:
-            raise ValueError(
-                "engine='fast' requires simple-reward non-quirk semantics"
-            )
         return _evaluate_fast(
             policy, num_games, key, env_config, batch_size, max_steps,
             fast_backend,

@@ -125,20 +125,7 @@ class DQNLoopState:
 
 def resolve_engine(config: DQNTrainConfig) -> str:
     """Pick the actor engine; validate an explicit "fast" request."""
-    e = config.env
-    fast_ok = (
-        e.reward == SIMPLE and not e.quirk_compat and e.auto_reset
-    )
-    if config.engine == "auto":
-        return "fast" if fast_ok else "lax"
-    if config.engine == "fast" and not fast_ok:
-        raise ValueError(
-            "engine='fast' requires simple-reward, non-quirk, auto-reset "
-            f"env semantics (got {e})"
-        )
-    if config.engine not in ("fast", "lax"):
-        raise ValueError(f"unknown engine {config.engine!r}")
-    return config.engine
+    return fastlib.resolve_engine(config.env, config.engine)
 
 
 def fast_config(config: DQNTrainConfig) -> fastlib.FastEnvConfig:
@@ -542,6 +529,12 @@ def train(
                 block["restored"] += 1
                 block["rollbacks"] += 1
                 ep = int(state.episodes_done)
+                # Rewind the block index too: the next regression
+                # comparison must fire one BLOCK_SIZE after the restored
+                # episode, not after episodes_done re-crosses the
+                # pre-restore boundary (which would average ~2 blocks and
+                # dilute drop detection below rollback_drop).
+                block["idx"] = ep // config.rollback_block
                 # prev_avg intentionally kept (mainDQL:299).
                 # Rewind the periodic-op bookkeeping to the restored
                 # episode so target-sync/prune/checkpoint cadences re-fire
@@ -594,6 +587,27 @@ def train(
         }
         if config.rollback:
             row["rollbacks"] = block["rollbacks"]
+        if config.updates_per_step is None:
+            # Expose the learner backlog: in debt mode the regime promise
+            # is exactly updates_per_episode x episodes total updates, and
+            # a debt that grows without bound means max_updates_per_step
+            # is too small for this env count (owed/step scales with
+            # num_envs / episode_length).
+            debt = int(state.update_debt)
+            row["update_debt"] = debt
+            if debt > 20 * config.max_updates_per_step and not prev.get(
+                "debt_warned"
+            ):
+                prev["debt_warned"] = True
+                print(
+                    f"WARNING: learner debt {debt} updates and growing — "
+                    f"max_updates_per_step={config.max_updates_per_step} "
+                    f"cannot keep up with {config.num_envs} envs at "
+                    f"updates_per_episode={config.updates_per_episode}; "
+                    "the reference update ratio is not being met. Raise "
+                    "max_updates_per_step or reduce --envs.",
+                    flush=True,
+                )
         prev.update(
             ep=ep,
             ret=float(state.sum_return),

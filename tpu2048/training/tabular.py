@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from tpu2048.agents import tabular as tab
-from tpu2048.env import EnvConfig, EnvState, SHAPED, SIMPLE
+from tpu2048.env import EnvConfig, EnvState, SHAPED
 from tpu2048.env import env as envlib
 from tpu2048.env import fast as fastlib
 from tpu2048.ops import pallas_step as ps
@@ -46,18 +46,8 @@ class TabularTrainConfig:
 
 
 def resolve_engine(config: TabularTrainConfig) -> str:
-    e = config.env
-    fast_ok = e.reward == SIMPLE and not e.quirk_compat and e.auto_reset
-    if config.engine == "auto":
-        return "fast" if fast_ok else "lax"
-    if config.engine == "fast" and not fast_ok:
-        raise ValueError(
-            "engine='fast' requires simple-reward, non-quirk, auto-reset "
-            f"env semantics (got {e})"
-        )
-    if config.engine not in ("fast", "lax"):
-        raise ValueError(f"unknown engine {config.engine!r}")
-    return config.engine
+    """Pick the actor engine; validate an explicit "fast" request."""
+    return fastlib.resolve_engine(config.env, config.engine)
 
 
 def fast_config(config: TabularTrainConfig) -> fastlib.FastEnvConfig:
