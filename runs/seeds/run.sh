@@ -1,0 +1,16 @@
+#!/bin/bash
+# Multi-seed variance band for the DQN run-of-record protocol
+# (seed 0 = runs/dqn_r2). Short runs: enough episodes to time the
+# 256/512/1024 milestones and the late mean score under seed variance.
+# Sequential — ONE TPU process at a time on this machine.
+set -u
+cd /root/repo
+for s in "$@"; do
+  d=runs/seeds/s$s
+  mkdir -p "$d"
+  PYTHONPATH=/root/repo:${PYTHONPATH:-} python -m tpu2048 train dqn \
+    --episodes 2500 --envs 128 --batch 64 --memory-size 50000 \
+    --updates-per-episode 100 --steps-per-chunk 16 --seed "$s" \
+    --rollback --log "$d/metrics.jsonl" > "$d/stdout.log" 2>&1
+  echo "seed $s done rc=$?"
+done
