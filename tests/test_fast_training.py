@@ -62,6 +62,27 @@ def test_engine_resolution():
     tab_simple = tabtrain.TabularTrainConfig(env=EnvConfig(reward=SIMPLE))
     assert tabtrain.resolve_engine(tab_simple) == "fast"
 
+    # The eval harness tolerates non-auto-reset envs on the fast engine
+    # (it latches first completions), via the shared rule's relaxation.
+    from tpu2048.env import fast as fastlib
+
+    no_ar = EnvConfig(reward=SIMPLE, auto_reset=False)
+    assert fastlib.resolve_engine(no_ar, "auto") == "lax"
+    assert fastlib.resolve_engine(no_ar, "auto",
+                                  require_auto_reset=False) == "fast"
+    with pytest.raises(ValueError):
+        fastlib.resolve_engine(no_ar, "nonsense")
+
+
+def test_fit_block():
+    from tpu2048.env.fast import fit_block
+
+    assert fit_block(1024, 1024) == 1024
+    assert fit_block(128, 1024) == 128  # block never exceeds batch
+    assert fit_block(96, 64) == 48  # largest divisor <= cap
+    assert fit_block(7, 4) == 1  # prime batch falls back to 1
+    assert fit_block(1, 1024) == 1
+
 
 def test_dqn_train_chunk_backends_bitwise():
     """Kernel (interpret) vs lax oracle: identical through train_chunk."""
