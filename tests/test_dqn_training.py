@@ -51,6 +51,39 @@ def test_dqn_training_loop_end_to_end():
     assert last["epsilon"] < 0.9
 
 
+def test_milestone_fires_at_512_tier():
+    """The reference saves tiered models at 512/1024/2048
+    (mainDQL:254-262); the 512 tier must fire, not just >=1024. Plant a
+    512 tile (exponent 9) on one env so best_tile crosses the tier in
+    the first chunk."""
+    from tpu2048.training.dqn import init_loop_state
+
+    config = DQNTrainConfig(
+        agent=DQNConfig(
+            features=8, hidden=16, num_blocks=1, bf16=False,
+            dropout=0.0, memory_size=1024, batch_size=16, epsilon=0.9,
+        ),
+        env=EnvConfig(reward=SIMPLE, terminal_bonus=True),
+        num_envs=8,
+        updates_per_step=1,
+        train_batch=16,
+        steps_per_chunk=8,
+        seed=0,
+    )
+    model, state = init_loop_state(config)
+    env_state = state.env_state.replace(
+        boards=state.env_state.boards.at[0, 0].set(9)
+    )
+    state = state.replace(env_state=env_state)
+    milestones = []
+    train(
+        config, total_episodes=4, state=state, model=model,
+        milestone_fn=lambda s, ep, tile: milestones.append((ep, tile)),
+    )
+    assert milestones, "512-tier milestone never fired"
+    assert milestones[0][1] >= 512
+
+
 def test_trace_env0_reference_csv(tmp_path):
     """Per-step env-0 trace mirrors the reference's debug CSV columns."""
 
