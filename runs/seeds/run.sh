@@ -9,7 +9,7 @@ for s in "$@"; do
   d=runs/seeds/s$s
   mkdir -p "$d"
   PYTHONPATH=/root/repo:${PYTHONPATH:-} python -m tpu2048 train dqn \
-    --episodes 2500 --envs 128 --batch 64 --memory-size 50000 \
+    --episodes 3500 --envs 128 --batch 64 --memory-size 50000 \
     --updates-per-episode 100 --steps-per-chunk 16 --seed "$s" \
     --rollback --log "$d/metrics.jsonl" > "$d/stdout.log" 2>&1
   echo "seed $s done rc=$?"

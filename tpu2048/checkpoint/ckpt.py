@@ -143,4 +143,8 @@ def restore_params_only(directory: str, step: Optional[int], config) -> Any:
         state = mgr.restore(step, template)
     finally:
         mgr.close()
-    return step, jax.device_put(state.agent.params)
+    # Explicit target device: device_put without one keeps the CPU
+    # placement from the restore, and a later jit would then commit the
+    # whole eval to the CPU backend (where the Pallas kernel refuses to
+    # lower outside interpret mode).
+    return step, jax.device_put(state.agent.params, jax.devices()[0])
