@@ -26,15 +26,15 @@ def load_rows(path: str) -> List[dict]:
     return rows
 
 
-def first_episode_at_tile(rows: List[dict], tile: int) -> Optional[int]:
-    """First logged episode count whose running best tile reached ``tile``.
+def first_row_at_tile(rows: List[dict], tile: int) -> Optional[dict]:
+    """First logged row whose running best tile reached ``tile``.
 
     Upper bound within one chunk's episodes (logging is per chunk, the
     reference logged per episode).
     """
     for row in rows:
         if row.get("best_tile", 0) >= tile:
-            return row["episodes"]
+            return row
     return None
 
 
@@ -50,7 +50,18 @@ def analyze(path: str) -> dict:
         "best_tile": last.get("best_tile"),
     }
     for tile in (256, 512, 1024, 2048):
-        out[f"first_{tile}_by_episode"] = first_episode_at_tile(rows, tile)
+        row = first_row_at_tile(rows, tile)
+        out[f"first_{tile}_by_episode"] = None if row is None else row["episodes"]
+        # The episode axis compresses exploration vs the single-env
+        # reference (B games finish in parallel per unit wall time), so
+        # also report the regime-comparable axes: env transitions
+        # consumed and gradient updates taken. Reference at its win
+        # (episode 1858, ~165 steps/ep, 100 updates/ep): ~307k env
+        # steps, ~186k train steps.
+        if row is not None and "env_steps" in row:
+            out[f"first_{tile}_by_env_steps"] = row["env_steps"]
+        if row is not None and "train_steps" in row:
+            out[f"first_{tile}_by_train_steps"] = row["train_steps"]
     hist = last.get("tile_hist")
     if hist:
         # tile_hist[k] = episodes whose final board's max exponent was k.
