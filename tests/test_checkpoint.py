@@ -160,3 +160,25 @@ def test_prune_on_resume(tmp_path):
     # refills; the first logged row reflects post-prune + one chunk.
     assert logs[0]["buffer_size"] > 0
     mgr2.close()
+
+
+def test_restore_params_only_named_milestone(tmp_path):
+    """Milestone tiers are saved as NAMED checkpoints; eval/demo load them
+    via restore_params_only(named=...) — the reference's GameDemo plays
+    exactly such a milestone artifact (GameDemo.py:208)."""
+    from tpu2048.checkpoint import restore_params_only
+
+    config = tiny_config()
+    _, state = init_loop_state(config)
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save_named("tile_512_ep5", state)
+    mgr.close()
+
+    tag, params = restore_params_only(
+        str(tmp_path), None, config, named="tile_512_ep5"
+    )
+    assert tag == "tile_512_ep5"
+    assert leaves_equal(params, state.agent.params)
+
+    with pytest.raises(FileNotFoundError, match="tile_512_ep5"):
+        restore_params_only(str(tmp_path), None, config, named="tile_9999")

@@ -115,7 +115,9 @@ def abstract_like(state: Any, device=None) -> Any:
     )
 
 
-def restore_params_only(directory: str, step: Optional[int], config) -> Any:
+def restore_params_only(
+    directory: str, step: Optional[int], config, named: Optional[str] = None
+) -> Any:
     """Restore just the online-network params from a full-state checkpoint.
 
     ``eval``/``demo`` only need the CNN weights, but a step checkpoint
@@ -126,21 +128,40 @@ def restore_params_only(directory: str, step: Optional[int], config) -> Any:
     restores the whole tree onto HOST CPU from local disk, and (c) ships
     only the params to the accelerator.
 
-    Returns ``(step, params_on_default_device)``.
+    ``named`` selects a NAMED checkpoint (milestone tiers ``tile_512_*``/
+    ``tile_1024_*``/``tile_2048_*``, rollback ``block_checkpoint``)
+    instead of a step — the reference's GameDemo loads exactly such a
+    milestone model artifact (GameDemo.py:208).
+
+    Returns ``(step_or_name, params_on_default_device)``.
     """
     from tpu2048.training.dqn import init_loop_state  # noqa: PLC0415
 
     mgr = CheckpointManager(directory)
     try:
-        if step is None:
-            step = mgr.latest_step()
-        if step is None:
-            return None, None
         cpu = jax.devices("cpu")[0]
         template = abstract_like(
             jax.eval_shape(lambda: init_loop_state(config)[1]), device=cpu
         )
-        state = mgr.restore(step, template)
+        if named is not None:
+            if not mgr.has_named(named):
+                have = sorted(
+                    os.listdir(os.path.join(mgr.directory, "named"))
+                ) if os.path.isdir(
+                    os.path.join(mgr.directory, "named")
+                ) else []
+                raise FileNotFoundError(
+                    f"no named checkpoint {named!r} in {directory} "
+                    f"(available: {have})"
+                )
+            state = mgr.restore_named(named, template)
+            step = named
+        else:
+            if step is None:
+                step = mgr.latest_step()
+            if step is None:
+                return None, None
+            state = mgr.restore(step, template)
     finally:
         mgr.close()
     # Explicit target device: device_put without one keeps the CPU

@@ -381,9 +381,14 @@ def cmd_eval(args) -> int:
 
         args = _load_run_config(args, args.checkpoint_dir)
         cfg = _restore_config(args, args.checkpoint_dir)
-        step, params = restore_params_only(
-            args.checkpoint_dir, args.step, cfg
-        )
+        try:
+            step, params = restore_params_only(
+                args.checkpoint_dir, args.step, cfg,
+                named=getattr(args, "named", None),
+            )
+        except FileNotFoundError as e:
+            print(e, file=sys.stderr)
+            return 2
         if params is None:
             print("no checkpoint found", file=sys.stderr)
             return 2
@@ -428,7 +433,13 @@ def _demo_policy(args):
 
     args = _load_run_config(args, args.checkpoint_dir)
     cfg = _restore_config(args, args.checkpoint_dir)
-    step, params = restore_params_only(args.checkpoint_dir, args.step, cfg)
+    try:
+        step, params = restore_params_only(
+            args.checkpoint_dir, args.step, cfg,
+            named=getattr(args, "named", None),
+        )
+    except FileNotFoundError as e:
+        raise SystemExit(str(e))
     if params is None:
         raise SystemExit(f"no checkpoint found in {args.checkpoint_dir}")
     model = create_model(cfg.agent)
@@ -512,6 +523,10 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--games", type=int, default=512)
     pe.add_argument("--eval-batch", type=int, default=512)
     pe.add_argument("--step", type=int, default=None)
+    pe.add_argument("--named", type=str, default=None,
+                    help="load a NAMED checkpoint (milestone tile_512_*/"
+                         "tile_1024_*/tile_2048_* or block_checkpoint) "
+                         "instead of a step")
     pe.set_defaults(fn=cmd_eval)
 
     pd = sub.add_parser("demo", help="terminal play: manual/random/model")
@@ -522,6 +537,8 @@ def build_parser() -> argparse.ArgumentParser:
                     default="manual")
     pd.add_argument("--delay", type=float, default=0.5)
     pd.add_argument("--step", type=int, default=None)
+    pd.add_argument("--named", type=str, default=None,
+                    help="load a NAMED checkpoint (e.g. a tile_* milestone)")
     pd.set_defaults(fn=cmd_demo)
 
     pg = sub.add_parser("gui", help="Tkinter play: manual/random/model")
@@ -532,6 +549,8 @@ def build_parser() -> argparse.ArgumentParser:
                     default="manual")
     pg.add_argument("--delay", type=float, default=0.5)
     pg.add_argument("--step", type=int, default=None)
+    pg.add_argument("--named", type=str, default=None,
+                    help="load a NAMED checkpoint (e.g. a tile_* milestone)")
     pg.set_defaults(fn=cmd_gui)
 
     pp = sub.add_parser("plot", help="render training plots from JSONL logs")
