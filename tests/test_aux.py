@@ -111,6 +111,11 @@ def test_analyze_milestones_and_wins(tmp_path):
     assert out["first_512_by_episode"] == 30
     assert out["first_1024_by_episode"] == 30
     assert out["first_2048_by_episode"] == 90
+    # Regime-comparable axes (episodes compress exploration under B
+    # parallel envs): transitions and gradient updates at the milestone.
+    assert out["first_1024_by_env_steps"] == 3000
+    assert out["first_1024_by_train_steps"] == 30
+    assert out["first_2048_by_env_steps"] == 9000
     assert out["games_won_2048"] == 3
     assert out["final_tile_distribution"]["2048"] == 3
     assert out["action_fractions"]["L"] == 0.7
