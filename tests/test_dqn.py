@@ -182,6 +182,10 @@ def test_lr_decay_hook():
     assert float(current_lr(state)) == pytest.approx(5e-5)
     state = maybe_decay_lr(TINY, state, jnp.asarray(True))
     assert float(current_lr(state)) == pytest.approx(5e-5 * 0.98)
+    # Several qualifying episode-enders in one vector step decay once
+    # EACH (the reference fires once per episode, Dqn8:284-285 + :299-309).
+    state = maybe_decay_lr(TINY, state, jnp.asarray(5, jnp.int32))
+    assert float(current_lr(state)) == pytest.approx(5e-5 * 0.98**6, rel=1e-5)
     # Floor at 1e-6.
     for _ in range(300):
         state = maybe_decay_lr(TINY, state, jnp.asarray(True))

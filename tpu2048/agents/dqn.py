@@ -118,10 +118,20 @@ def set_lr(state: DQNTrainState, lr) -> DQNTrainState:
 
 
 def maybe_decay_lr(config: DQNConfig, state: DQNTrainState, trigger) -> DQNTrainState:
-    """LR <- max(lr * 0.98, 1e-6) when ``trigger`` (Dqn8:299-309)."""
+    """LR <- max(lr * 0.98**n, 1e-6) for ``n`` qualifying episode ends.
+
+    The reference arms ``change_lr`` in ``remember`` whenever an episode
+    ends with max(state) >= 1024 (Dqn8:284-285) and the driver consumes
+    the flag once per env step (mainDQL:229 -> Dqn8:299-309), i.e. the
+    decay fires exactly once PER QUALIFYING EPISODE. With B vectorized
+    envs several qualifying episodes can end in one step, so ``trigger``
+    is a count (or a bool for the single-env case) and the factor is
+    applied that many times, floored at ``lr_min``.
+    """
+    n = jnp.asarray(trigger).astype(jnp.float32)
     lr = current_lr(state)
-    new_lr = jnp.where(
-        trigger, jnp.maximum(lr * config.lr_decay_factor, config.lr_min), lr
+    new_lr = jnp.maximum(
+        lr * jnp.power(config.lr_decay_factor, n), config.lr_min
     )
     return set_lr(state, new_lr)
 

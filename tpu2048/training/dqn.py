@@ -244,12 +244,16 @@ def train_chunk(config: DQNTrainConfig, model, tx, state: DQNLoopState,
             step_counter=st.agent.step_counter
             + (b if config.epsilon_step_per_env else 1)
         )
-        # LR hook: an episode ended whose pre-step board had >=1024
-        # (remember() checks np.max(state), Dqn8:284).
-        trigger = jnp.any(
-            ts.done & (board_ops.max_tile_value(boards) >= acfg.lr_decay_tile)
+        # LR hook: x0.98 once per episode that ended with a >=1024
+        # pre-step board (remember() checks np.max(state), Dqn8:284;
+        # the flag is consumed once per episode, mainDQL:229). Count the
+        # qualifying enders in this vector step and decay that many times.
+        n_trigger = jnp.sum(
+            (
+                ts.done & (board_ops.max_tile_value(boards) >= acfg.lr_decay_tile)
+            ).astype(jnp.int32)
         )
-        agent = dqnlib.maybe_decay_lr(acfg, agent, trigger)
+        agent = dqnlib.maybe_decay_lr(acfg, agent, n_trigger)
 
         # --- learner -------------------------------------------------------
         per_shard_batch = config.train_batch // config.replay_shards
