@@ -51,6 +51,92 @@ def test_dqn_training_loop_end_to_end():
     assert last["epsilon"] < 0.9
 
 
+def test_per_alpha_training_path_skews_sampling():
+    """PER exercised through the training path (Dqn8:67-104).
+
+    With ``alpha=0.6`` the full loop — sample -> TD -> priority write ->
+    resample — must leave non-uniform priorities in the (sharded) buffer,
+    and subsequent sampling must be measurably skewed toward
+    high-priority transitions (priority^alpha-proportional, Dqn8:78-84),
+    unlike the alpha=0 "NOPER" run of record.
+    """
+    import jax.numpy as jnp
+
+    from tpu2048.replay import sharded as replaylib
+    from tpu2048.training.dqn import init_loop_state, train_chunk
+    from tpu2048.agents import dqn as dqnlib
+
+    config = DQNTrainConfig(
+        agent=DQNConfig(
+            features=8, hidden=16, num_blocks=1, bf16=False, dropout=0.0,
+            memory_size=1024, batch_size=32, epsilon=0.9, alpha=0.6,
+        ),
+        env=EnvConfig(reward=SIMPLE, terminal_bonus=True),
+        num_envs=32,
+        updates_per_step=2,
+        train_batch=32,
+        steps_per_chunk=16,
+        replay_shards=2,  # exercise the sharded path
+        seed=3,
+    )
+    model, state = init_loop_state(config)
+    tx = dqnlib.make_optimizer(config.agent)
+    chunk = jax.jit(lambda s: train_chunk(config, model, tx, s))
+    for _ in range(4):
+        state, _, _ = chunk(state)
+    buf = state.buffer
+    assert int(state.agent.train_steps) > 0, "learner never ran"
+
+    # 1. Priority writes happened: the valid slots are non-uniform.
+    size = np.asarray(buf.size)  # (S,)
+    pri = np.asarray(buf.priorities)  # (S, C/S)
+    valid = np.concatenate([pri[s, : size[s]] for s in range(2)])
+    assert len(np.unique(np.round(valid, 6))) > 8, (
+        "priorities still uniform after PER training — TD writes missing"
+    )
+
+    # 2. Sampling is skewed toward high priority, per shard.
+    counts = np.zeros_like(pri)
+    key = jax.random.PRNGKey(0)
+    draws = 400
+    for i in range(draws):
+        key, k = jax.random.split(key)
+        _, idx, _ = replaylib.sharded_sample(
+            buf, k, config.train_batch, config.agent.alpha, config.agent.beta
+        )
+        idx = np.asarray(idx)  # (S, batch/S)
+        for s in range(2):
+            np.add.at(counts[s], idx[s], 1)
+    for s in range(2):
+        p = pri[s, : size[s]] ** 0.6
+        c = counts[s, : size[s]]
+        hi = p >= np.quantile(p, 0.75)
+        lo = p <= np.quantile(p, 0.25)
+        # Expected ratio is mean(p[hi])/mean(p[lo]); demand at least a
+        # 1.5x empirical skew (uniform sampling would give ~1.0).
+        assert c[hi].mean() > 1.5 * max(c[lo].mean(), 1e-9), (
+            f"shard {s}: high-priority slots not preferentially sampled "
+            f"({c[hi].mean():.2f} vs {c[lo].mean():.2f})"
+        )
+
+    # 3. The alpha=0 control: same buffer, uniform sampling, no skew.
+    counts0 = np.zeros_like(pri)
+    key = jax.random.PRNGKey(1)
+    for i in range(draws):
+        key, k = jax.random.split(key)
+        _, idx, _ = replaylib.sharded_sample(buf, k, config.train_batch, 0.0, 1.0)
+        idx = np.asarray(idx)
+        for s in range(2):
+            np.add.at(counts0[s], idx[s], 1)
+    for s in range(2):
+        p = pri[s, : size[s]] ** 0.6
+        c = counts0[s, : size[s]]
+        hi = p >= np.quantile(p, 0.75)
+        lo = p <= np.quantile(p, 0.25)
+        ratio = c[hi].mean() / max(c[lo].mean(), 1e-9)
+        assert 0.7 < ratio < 1.4, f"alpha=0 sampling skewed ({ratio:.2f})"
+
+
 def test_milestone_fires_at_512_tier():
     """The reference saves tiered models at 512/1024/2048
     (mainDQL:254-262); the 512 tier must fire, not just >=1024. Plant a
