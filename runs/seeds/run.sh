@@ -1,7 +1,13 @@
 #!/bin/bash
 # Multi-seed variance band for the DQN run-of-record protocol
-# (seed 0 = runs/dqn_r2). Short runs: enough episodes to time the
-# 256/512/1024 milestones and the late mean score under seed variance.
+# (seed 0 = runs/dqn_r3: exact reference cadence, rollback OFF — the
+# reference ships the rollback block commented out, mainDQL:278-314).
+# Short runs: enough episodes to time the 256/512/1024 milestones and
+# the late mean score under seed variance.
+#
+# s1/s2 were run (round 2) WITH --rollback at the same cadence; they
+# double as the rollback-policy ablation. New seeds here run the
+# run-of-record protocol exactly.
 # Sequential — ONE TPU process at a time on this machine.
 set -u
 cd /root/repo
@@ -11,6 +17,6 @@ for s in "$@"; do
   PYTHONPATH=/root/repo:${PYTHONPATH:-} python -m tpu2048 train dqn \
     --episodes 3500 --envs 128 --batch 64 --memory-size 50000 \
     --updates-per-episode 100 --steps-per-chunk 16 --seed "$s" \
-    --rollback --log "$d/metrics.jsonl" > "$d/stdout.log" 2>&1
+    --log "$d/metrics.jsonl" > "$d/stdout.log" 2>&1
   echo "seed $s done rc=$?"
 done

@@ -28,7 +28,7 @@ def fmt(v):
 
 
 def main():
-    logs = [("0 (run of record)", "runs/dqn_r2/metrics.jsonl")]
+    logs = [("0 (run of record)", "runs/dqn_r3/metrics.jsonl")]
     for d in sorted(glob.glob("runs/seeds/s*/")):
         path = os.path.join(d, "metrics.jsonl")
         if os.path.exists(path):

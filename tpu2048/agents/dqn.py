@@ -87,8 +87,14 @@ class DQNTrainState:
 
 
 def make_optimizer(config: DQNConfig) -> optax.GradientTransformation:
+    # eps=1e-7: the reference compiles keras Adam with defaults
+    # (Dqn8:229), whose epsilon is 1e-7; optax's default is 1e-8.
+    # Plain injection (no static_args): inject_hyperparams already puts
+    # every numeric default (b1, b2, eps, eps_root) into
+    # opt_state.hyperparams, so overriding eps here keeps the checkpoint
+    # pytree identical to what earlier runs saved.
     return optax.inject_hyperparams(optax.adam)(
-        learning_rate=config.learning_rate
+        learning_rate=config.learning_rate, eps=1e-7
     )
 
 
