@@ -341,18 +341,31 @@ def scale_main(device_counts, envs_per_dev: int = 256,
 
 
 if __name__ == "__main__":
-    import sys
+    import argparse
 
-    if "--learner" in sys.argv:
-        learner_main()
-    elif "--train-loop" in sys.argv:
-        train_loop_main()
-    elif "--tabular" in sys.argv:
-        tabular_main()
-    elif "--scale" in sys.argv:
-        i = sys.argv.index("--scale") + 1
-        if i >= len(sys.argv):
-            sys.exit("usage: bench.py --scale N[,M..]  (e.g. --scale 1,2,4,8)")
-        scale_main([int(x) for x in sys.argv[i].split(",")])
+    ap = argparse.ArgumentParser(description=__doc__, allow_abbrev=False)
+    ap.add_argument("--learner", action="store_true")
+    ap.add_argument("--train-loop", action="store_true")
+    ap.add_argument("--tabular", action="store_true")
+    ap.add_argument("--scale", type=str, default=None,
+                    help="comma-separated device counts, e.g. 1,2,4,8")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="env batch (headline) / envs (tabular)")
+    ap.add_argument("--steps", type=int, default=2048)
+    ap.add_argument("--envs", type=int, default=128,
+                    help="env count for --train-loop")
+    ap.add_argument("--train-batch", type=int, default=64,
+                    help="learner batch for --learner")
+    ap.add_argument("--updates", type=int, default=200)
+    a = ap.parse_args()
+
+    if a.learner:
+        learner_main(batch=a.train_batch, updates=a.updates)
+    elif a.train_loop:
+        train_loop_main(envs=a.envs)
+    elif a.tabular:
+        tabular_main(batch=a.batch or 4096)
+    elif a.scale:
+        scale_main([int(x) for x in a.scale.split(",")])
     else:
-        main()
+        main(batch=a.batch or 131072, steps=a.steps)

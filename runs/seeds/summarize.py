@@ -1,7 +1,7 @@
 """Summarize the multi-seed DQN variance band for PARITY.md.
 
 Collects `analyze` output for the run-of-record log (seed 0,
-runs/dqn_r2) and each runs/seeds/s*/metrics.jsonl, and prints a
+runs/dqn_r3) and each runs/seeds/s*/metrics.jsonl, and prints a
 markdown table of milestone timings (episodes / env-steps / train-steps
 axes) plus late-run quality, the seed-variance band the reference's
 single-seed "2048 at episode 1858" claim lacks.
@@ -28,7 +28,9 @@ def fmt(v):
 
 
 def main():
-    logs = [("0 (run of record)", "runs/dqn_r3/metrics.jsonl")]
+    logs = []
+    if os.path.exists("runs/dqn_r3/metrics.jsonl"):
+        logs.append(("0 (run of record)", "runs/dqn_r3/metrics.jsonl"))
     for d in sorted(glob.glob("runs/seeds/s*/")):
         path = os.path.join(d, "metrics.jsonl")
         if os.path.exists(path):

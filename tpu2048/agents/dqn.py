@@ -136,9 +136,13 @@ def maybe_decay_lr(config: DQNConfig, state: DQNTrainState, trigger) -> DQNTrain
     """
     n = jnp.asarray(trigger).astype(jnp.float32)
     lr = current_lr(state)
-    new_lr = jnp.maximum(
+    decayed = jnp.maximum(
         lr * jnp.power(config.lr_decay_factor, n), config.lr_min
     )
+    # Only the decay path clamps at lr_min (Dqn8:303-306); with zero
+    # triggers the LR must pass through untouched, or a run launched with
+    # alpha < lr_min would be silently raised to the floor.
+    new_lr = jnp.where(n > 0, decayed, lr)
     return set_lr(state, new_lr)
 
 

@@ -81,7 +81,10 @@ def _restore_config(args, directory: str):
     path = os.path.join(directory, "config.json")
     if os.path.isfile(path):
         with open(path) as fh:
-            saved = json.load(fh).get("engine")
+            # Runs trained before the fast engine existed have no
+            # "engine" key; they stepped the lax env, so their saved
+            # env-state is an EnvState and the template must say so.
+            saved = json.load(fh).get("engine", "lax")
         if saved and saved != cfg.engine:
             cfg = dataclasses.replace(cfg, engine=saved)
     return cfg
@@ -500,21 +503,26 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="train2048",
         description="TPU-native 2048 RL framework (tpu2048)",
+        # No prefix abbreviations: _user_specified decides config.json
+        # overlay precedence by scanning argv for the literal flag, and an
+        # abbreviated spelling (--eng lax) would silently lose to the
+        # saved config.
+        allow_abbrev=False,
     )
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (debugging)")
     sub = p.add_subparsers(dest="command", required=True)
 
-    pt = sub.add_parser("train", help="train an agent")
+    pt = sub.add_parser("train", help="train an agent", allow_abbrev=False)
     st = pt.add_subparsers(dest="algo", required=True)
-    ptab = st.add_parser("tabular", help="tabular Q-learning (QLearningBase)")
+    ptab = st.add_parser("tabular", help="tabular Q-learning (QLearningBase)", allow_abbrev=False)
     _add_tabular_args(ptab)
     ptab.set_defaults(fn=cmd_train)
-    pdqn = st.add_parser("dqn", help="DQN (Deep_QLearning)")
+    pdqn = st.add_parser("dqn", help="DQN (Deep_QLearning)", allow_abbrev=False)
     _add_dqn_args(pdqn)
     pdqn.set_defaults(fn=cmd_train)
 
-    pe = sub.add_parser("eval", help="batched greedy/random evaluation")
+    pe = sub.add_parser("eval", help="batched greedy/random evaluation", allow_abbrev=False)
     _add_dqn_args(pe)
     pe.add_argument("--policy", choices=["random", "model", "tabular"],
                     default="random")
@@ -529,7 +537,7 @@ def build_parser() -> argparse.ArgumentParser:
                          "instead of a step")
     pe.set_defaults(fn=cmd_eval)
 
-    pd = sub.add_parser("demo", help="terminal play: manual/random/model")
+    pd = sub.add_parser("demo", help="terminal play: manual/random/model", allow_abbrev=False)
     _add_dqn_args(pd)
     pd.add_argument("--table", type=str, default=None,
                     help="play a trained tabular Q-table instead of a DQN")
@@ -541,7 +549,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="load a NAMED checkpoint (e.g. a tile_* milestone)")
     pd.set_defaults(fn=cmd_demo)
 
-    pg = sub.add_parser("gui", help="Tkinter play: manual/random/model")
+    pg = sub.add_parser("gui", help="Tkinter play: manual/random/model", allow_abbrev=False)
     _add_dqn_args(pg)
     pg.add_argument("--table", type=str, default=None,
                     help="play a trained tabular Q-table instead of a DQN")
@@ -553,18 +561,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="load a NAMED checkpoint (e.g. a tile_* milestone)")
     pg.set_defaults(fn=cmd_gui)
 
-    pp = sub.add_parser("plot", help="render training plots from JSONL logs")
+    pp = sub.add_parser("plot", help="render training plots from JSONL logs", allow_abbrev=False)
     pp.add_argument("--log", type=str, required=True)
     pp.add_argument("--out", type=str, required=True)
     pp.set_defaults(fn=cmd_plot)
 
     pa = sub.add_parser("analyze",
                         help="milestone timings + win stats from a "
-                             "metrics.jsonl (reference-comparable numbers)")
+                             "metrics.jsonl (reference-comparable numbers)", allow_abbrev=False)
     pa.add_argument("--log", type=str, required=True)
     pa.set_defaults(fn=cmd_analyze)
 
-    pb = sub.add_parser("bench", help="throughput benchmarks")
+    pb = sub.add_parser("bench", help="throughput benchmarks", allow_abbrev=False)
     pb.add_argument("--batch", type=int, default=65536)
     pb.add_argument("--steps", type=int, default=256)
     pb.add_argument("--learner", action="store_true",

@@ -150,8 +150,6 @@ def evaluate(
     completion and ignores the free restarts); "lax" keeps the op-by-op
     env (required for shaped/quirk modes); "auto" picks.
     """
-    from tpu2048.env import fast as fastlib
-
     engine = fastlib.resolve_engine(
         env_config, engine, require_auto_reset=False
     )

@@ -546,7 +546,12 @@ def train(
                 last_sync = min(last_sync, ep)
                 last_prune = min(last_prune, ep)
                 last_ckpt = min(last_ckpt, ep)
-                prev["best"] = int(state.best_tile)
+                # Refresh the row's best_tile too: the pre-restore value
+                # would otherwise pair a rewound episode count with a tile
+                # the restored state never held, corrupting analyze's
+                # first_<tile>_by_episode milestones.
+                best = int(state.best_tile)
+                prev["best"] = best
                 # Rewind the per-row delta baselines too: the restored
                 # cumulative sums are older than prev's, and without this
                 # the first post-restore row reports negative means.
