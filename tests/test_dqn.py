@@ -190,6 +190,14 @@ def test_lr_decay_hook():
     for _ in range(300):
         state = maybe_decay_lr(TINY, state, jnp.asarray(True))
     assert float(current_lr(state)) == pytest.approx(1e-6)
+    # The floor only clamps the DECAY path: an LR set below lr_min (e.g. a
+    # fine-tune launched with --alpha 5e-7) must pass through untouched
+    # when no episode qualifies.
+    from tpu2048.agents.dqn import set_lr
+
+    state = set_lr(state, 5e-7)
+    state = maybe_decay_lr(TINY, state, jnp.asarray(0, jnp.int32))
+    assert float(current_lr(state)) == pytest.approx(5e-7)
 
 
 def test_select_actions_legal_restriction():

@@ -125,6 +125,19 @@ def test_cli_eval_model_requires_checkpoint(capsys):
     assert rc == 2
 
 
+def test_cli_rejects_abbreviated_flags(capsys):
+    """Prefix abbreviations are disabled: config.json overlay precedence
+    (_user_specified) scans argv for the literal flag, so an abbreviated
+    spelling like --eng would silently lose to the saved config. Better
+    to reject it outright."""
+    import pytest
+
+    with pytest.raises(SystemExit) as exc:
+        cli_main(["eval", "--policy", "random", "--games", "4",
+                  "--eng", "lax"])
+    assert exc.value.code == 2
+
+
 def test_eval_uses_saved_run_config(tmp_path):
     """Training writes config.json; eval rebuilds the model from it even
     when the eval command omits the model flags."""
