@@ -1,0 +1,48 @@
+#!/bin/bash
+# Supervised DQN training: relaunch with --resume whenever the watchdog
+# detects a hang (a wedged device call never raises — the in-process
+# watchdog converts it to exit 70) or the process crashes. Requires
+# --checkpoint-dir so there is something to resume from.
+#
+# Usage:
+#   scripts/train_supervised.sh --episodes 10000 --envs 128 \
+#     --checkpoint-dir runs/x/ckpt --log runs/x/metrics.jsonl [--seed 0 ...]
+#
+# Any `train dqn` flag passes through. The watchdog window defaults to
+# 900 s (> worst-case compile + full-state checkpoint I/O over a tunneled
+# TPU); override by passing your own --watchdog.
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD:${PYTHONPATH:-}"
+
+WATCHDOG=900
+MAX_RESTARTS=20
+args=("$@")
+case " $* " in *" --watchdog "*) WATCHDOG="" ;; esac
+
+attempt=0
+resume=()
+while :; do
+  attempt=$((attempt + 1))
+  python -m tpu2048 train dqn "${args[@]}" \
+    ${WATCHDOG:+--watchdog "$WATCHDOG"} "${resume[@]}"
+  rc=$?
+  if [ "$rc" -eq 0 ]; then
+    echo "[supervise] training completed (attempt $attempt)"
+    exit 0
+  fi
+  if [ "$attempt" -ge "$MAX_RESTARTS" ]; then
+    echo "[supervise] giving up after $attempt attempts (last rc=$rc)" >&2
+    exit "$rc"
+  fi
+  if [ "$rc" -eq 70 ]; then
+    # Watchdog fired: the device tunnel may be wedged. Give the relay's
+    # claim timeout a chance to expire before reattaching.
+    echo "[supervise] watchdog exit (hang); cooling down 600 s, then resuming" >&2
+    sleep 600
+  else
+    echo "[supervise] exit rc=$rc; resuming in 30 s" >&2
+    sleep 30
+  fi
+  resume=(--resume)
+done

@@ -141,3 +141,78 @@ def test_analyze_rollback_stats(tmp_path):
     out = analyze(str(path))
     assert out["rollbacks"] == 2
     assert out["episodes_replayed"] == 19
+
+
+# ---------------------------------------------------------------------------
+# Watchdog (failure detection, SURVEY §5): a wedged device call raises
+# nothing and blocks forever; the watchdog converts no-progress into a
+# restartable exit so checkpoint/resume supervision can take over.
+
+
+def test_watchdog_fires_on_stall():
+    import threading
+
+    from tpu2048.utils.watchdog import Watchdog
+
+    fired = threading.Event()
+    stales = []
+    wd = Watchdog(timeout=0.2, label="t",
+                  on_timeout=lambda s: (stales.append(s), fired.set()),
+                  poll_interval=0.05)
+    wd.start()
+    assert fired.wait(timeout=5.0), "watchdog never fired on a stall"
+    wd.stop()
+    assert stales and stales[0] > 0.2
+
+
+def test_watchdog_quiet_under_heartbeats():
+    import time as _time
+
+    from tpu2048.utils.watchdog import Watchdog
+
+    fired = []
+    wd = Watchdog(timeout=0.3, label="t", on_timeout=fired.append,
+                  poll_interval=0.05)
+    wd.start()
+    for _ in range(10):
+        _time.sleep(0.1)
+        wd.beat()
+    wd.stop()
+    assert not fired
+    # And after stop() a stall no longer fires.
+    _time.sleep(0.5)
+    assert not fired
+
+
+def test_watchdog_rejects_nonpositive_timeout():
+    from tpu2048.utils.watchdog import Watchdog
+
+    with pytest.raises(ValueError):
+        Watchdog(timeout=0)
+
+
+def test_dqn_train_completes_with_watchdog_enabled():
+    """watchdog_timeout plumbs through DQNTrainConfig and a healthy run
+    neither fires it nor leaks the thread."""
+    import threading
+
+    from tpu2048.agents.dqn import DQNConfig
+    from tpu2048.env import EnvConfig, SIMPLE
+    from tpu2048.training.dqn import DQNTrainConfig, train
+
+    config = DQNTrainConfig(
+        agent=DQNConfig(features=8, hidden=16, num_blocks=1, bf16=False,
+                        dropout=0.0, memory_size=512, epsilon=0.5),
+        env=EnvConfig(reward=SIMPLE, terminal_bonus=True),
+        num_envs=8,
+        updates_per_step=1,
+        train_batch=8,
+        steps_per_chunk=8,
+        watchdog_timeout=600.0,
+        seed=3,
+    )
+    logs = train(config, total_episodes=4)
+    assert logs[-1]["episodes"] >= 4
+    assert not any(
+        t.name.startswith("watchdog:") for t in threading.enumerate()
+    )

@@ -113,6 +113,9 @@ def _add_tabular_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--save", type=str, default=None,
                    help="write the trained Q-table as .npz")
     p.add_argument("--log", type=str, default=None, help="JSONL metrics path")
+    p.add_argument("--watchdog", type=float, default=0.0,
+                   help="exit 70 if no training chunk completes within N "
+                        "seconds (hang -> restartable crash; 0 = off)")
     p.add_argument("--seed", type=int, default=0)
 
 
@@ -188,6 +191,11 @@ def _add_dqn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--debug-csv", type=str, default=None,
                    help="per-step CSV trace of env 0 (reference debug log)")
     p.add_argument("--log", type=str, default=None)
+    p.add_argument("--watchdog", type=float, default=0.0,
+                   help="exit 70 if no training chunk completes within N "
+                        "seconds (hang -> restartable crash; pair with "
+                        "--resume supervision, scripts/train_supervised.sh; "
+                        "0 = off)")
     p.add_argument("--seed", type=int, default=0)
 
 
@@ -210,6 +218,7 @@ def _tabular_config(args):
         total_episodes=args.episodes,
         steps_per_chunk=args.steps_per_chunk,
         engine=getattr(args, "engine", "auto"),
+        watchdog_timeout=getattr(args, "watchdog", 0.0) or 0.0,
         seed=args.seed,
     )
 
@@ -253,6 +262,7 @@ def _dqn_config(args):
         rollback_drop=getattr(args, "rollback_drop", 50.0),
         prune_on_resume=getattr(args, "prune_on_resume", 0),
         trace_env0=bool(getattr(args, "debug_csv", None)),
+        watchdog_timeout=getattr(args, "watchdog", 0.0) or 0.0,
         seed=args.seed,
     )
 

@@ -96,6 +96,13 @@ class DQNTrainConfig:
     # (the reference's load_memory pruned 99, Dqn8:490-502)
     trace_env0: bool = False  # per-step debug trace of env 0 (the
     # reference's per-step CSV, mainDQL:22-25,234)
+    # Failure detection (SURVEY §5): exit WATCHDOG_EXIT_CODE if no chunk
+    # completes within this many seconds (0 = off). Turns a wedged device
+    # call — which raises nothing and blocks forever — into a restartable
+    # crash; pair with checkpointing + a --resume supervisor loop
+    # (scripts/train_supervised.sh). Must exceed worst-case compile
+    # (~90 s) + full-state checkpoint I/O (~140 s over a tunneled TPU).
+    watchdog_timeout: float = 0.0
     seed: int = 0
 
 
@@ -453,9 +460,35 @@ def train(
         mem=None,  # HBM-resident block checkpoint (rollback_store="memory")
     )
     env0_episode = 0
+    watchdog = None
+    if config.watchdog_timeout > 0:
+        from tpu2048.utils.watchdog import Watchdog
+
+        watchdog = Watchdog(config.watchdog_timeout, label="dqn").start()
+    try:
+        return _train_loop(
+            config, total_episodes, state, chunk, sync, prune, logs, prev,
+            block, last_sync, last_prune, last_ckpt, env0_episode,
+            log_fn, checkpoint_fn, milestone_fn, ckpt_manager, trace_fn,
+            watchdog,
+        )
+    finally:
+        if watchdog is not None:
+            watchdog.stop()
+
+
+def _train_loop(
+    config, total_episodes, state, chunk, sync, prune, logs, prev, block,
+    last_sync, last_prune, last_ckpt, env0_episode, log_fn, checkpoint_fn,
+    milestone_fn, ckpt_manager, trace_fn, watchdog,
+):
     while int(state.episodes_done) < total_episodes:
         state, eps, traces = chunk(state)
         ep = int(state.episodes_done)
+        if watchdog is not None:
+            # int(...) above forced the device sync: the chunk really
+            # finished, this is forward progress.
+            watchdog.beat()
         if config.trace_env0 and trace_fn is not None:
             import numpy as _np
 
@@ -500,6 +533,10 @@ def train(
             if ckpt_manager is not None:
                 ckpt_manager.save(ep, state)
             last_ckpt = ep
+            if watchdog is not None:
+                # Full-state saves move GBs (40-140 s over a tunneled
+                # TPU); that's progress, not a hang.
+                watchdog.beat()
 
         # Rollback-on-regression (mainDQL:278-314).
         use_mem = config.rollback_store == "memory"

@@ -42,6 +42,9 @@ class TabularTrainConfig:
     # shaped reward's stall counters / prev-max bonuses); "auto" picks.
     engine: str = "auto"
     fast_backend: Optional[str] = None  # None=auto, "pallas", "lax" (oracle)
+    # Failure detection: exit WATCHDOG_EXIT_CODE if no chunk completes in
+    # this many seconds (0 = off); see tpu2048/utils/watchdog.py.
+    watchdog_timeout: float = 0.0
     seed: int = 0
 
 
@@ -182,9 +185,16 @@ def train(
     state = init_train_state(config)
     logs: List[dict] = []
     prev = dict(ep=0, ret=0.0, score=0.0, length=0.0, t=time.time())
+    watchdog = None
+    if config.watchdog_timeout > 0:
+        from tpu2048.utils.watchdog import Watchdog
+
+        watchdog = Watchdog(config.watchdog_timeout, label="tabular").start()
     while int(state.episodes_done) < config.total_episodes:
         state, eps = chunk(state)
         ep = int(state.episodes_done)
+        if watchdog is not None:
+            watchdog.beat()
         now = time.time()
         d_ep = max(ep - prev["ep"], 1)
         row = {
@@ -212,6 +222,8 @@ def train(
         logs.append(row)
         if log_fn:
             log_fn(row)
+    if watchdog is not None:
+        watchdog.stop()
     if save_path:
         tab.save_qtable(save_path, state.table)
     return logs
