@@ -268,6 +268,18 @@ def scale_main(device_counts, envs_per_dev: int = 256,
     CNN so CPU-sim runs finish, sharded replay, psum'd learner update).
     The >=85% BASELINE.md scaling target reads off ``efficiency``.
     """
+    import os
+
+    # Honor a CPU-sim request BEFORE any backend initializes: this
+    # machine's sitecustomize force-sets jax_platforms="axon,cpu", so the
+    # JAX_PLATFORMS env var alone is not enough (same rule as
+    # __graft_entry__.dryrun_multichip).
+    if (
+        "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", "")
+        or os.environ.get("JAX_PLATFORMS", "") == "cpu"
+    ):
+        jax.config.update("jax_platforms", "cpu")
+
     from tpu2048.agents.dqn import make_optimizer
     from tpu2048.env.fast import make_sharded_kernel
     from tpu2048.parallel import (

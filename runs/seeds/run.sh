@@ -17,6 +17,7 @@ for s in "$@"; do
   PYTHONPATH=/root/repo:${PYTHONPATH:-} python -m tpu2048 train dqn \
     --episodes 3500 --envs 128 --batch 64 --memory-size 50000 \
     --updates-per-episode 100 --steps-per-chunk 16 --seed "$s" \
+    --watchdog 1200 \
     --log "$d/metrics.jsonl" > "$d/stdout.log" 2>&1
   echo "seed $s done rc=$?"
 done
