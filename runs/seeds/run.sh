@@ -19,5 +19,10 @@ for s in "$@"; do
     --updates-per-episode 100 --steps-per-chunk 16 --seed "$s" \
     --watchdog 1200 \
     --log "$d/metrics.jsonl" > "$d/stdout.log" 2>&1
-  echo "seed $s done rc=$?"
+  rc=$?
+  # Durable completion marker: a watchdog-truncated run (rc=70) must not
+  # enter the PARITY seed band as if it finished (summarize.py warns on
+  # rc != 0 / missing marker).
+  echo "$rc" > "$d/rc.txt"
+  echo "seed $s done rc=$rc"
 done

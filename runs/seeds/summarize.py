@@ -34,7 +34,17 @@ def main():
     for d in sorted(glob.glob("runs/seeds/s*/")):
         path = os.path.join(d, "metrics.jsonl")
         if os.path.exists(path):
-            logs.append((d.rstrip("/").split("s")[-1], path))
+            seed = d.rstrip("/").split("s")[-1]
+            rc_path = os.path.join(d, "rc.txt")
+            if os.path.exists(rc_path):
+                rc = open(rc_path).read().strip()
+                if rc != "0":
+                    # Watchdog- or crash-truncated run: keep it out of the
+                    # band (its milestone timings would be right-censored).
+                    print(f"WARNING: skipping seed {seed}: rc={rc} "
+                          f"(truncated run)", file=sys.stderr)
+                    continue
+            logs.append((seed, path))
 
     rows = []
     for seed, path in logs:

@@ -18,7 +18,8 @@ export PYTHONPATH="$PWD:${PYTHONPATH:-}"
 WATCHDOG=900
 MAX_RESTARTS=20
 args=("$@")
-case " $* " in *" --watchdog "*) WATCHDOG="" ;; esac
+# Both spellings: "--watchdog N" and "--watchdog=N".
+case " $* " in *" --watchdog "* | *" --watchdog="*) WATCHDOG="" ;; esac
 
 attempt=0
 resume=()
@@ -30,6 +31,11 @@ while :; do
   if [ "$rc" -eq 0 ]; then
     echo "[supervise] training completed (attempt $attempt)"
     exit 0
+  fi
+  if [ "$rc" -eq 2 ]; then
+    # argparse usage error — permanently broken invocation, never retry.
+    echo "[supervise] usage error (rc=2); not retrying" >&2
+    exit 2
   fi
   if [ "$attempt" -ge "$MAX_RESTARTS" ]; then
     echo "[supervise] giving up after $attempt attempts (last rc=$rc)" >&2

@@ -170,12 +170,14 @@ def test_watchdog_quiet_under_heartbeats():
 
     from tpu2048.utils.watchdog import Watchdog
 
+    # Generous margins (timeout >> sleep) so scheduler jitter on a loaded
+    # CI box can't legitimately fire the watchdog.
     fired = []
-    wd = Watchdog(timeout=0.3, label="t", on_timeout=fired.append,
+    wd = Watchdog(timeout=2.0, label="t", on_timeout=fired.append,
                   poll_interval=0.05)
     wd.start()
-    for _ in range(10):
-        _time.sleep(0.1)
+    for _ in range(8):
+        _time.sleep(0.25)
         wd.beat()
     wd.stop()
     assert not fired

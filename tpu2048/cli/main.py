@@ -191,11 +191,6 @@ def _add_dqn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--debug-csv", type=str, default=None,
                    help="per-step CSV trace of env 0 (reference debug log)")
     p.add_argument("--log", type=str, default=None)
-    p.add_argument("--watchdog", type=float, default=0.0,
-                   help="exit 70 if no training chunk completes within N "
-                        "seconds (hang -> restartable crash; pair with "
-                        "--resume supervision, scripts/train_supervised.sh; "
-                        "0 = off)")
     p.add_argument("--seed", type=int, default=0)
 
 
@@ -530,6 +525,15 @@ def build_parser() -> argparse.ArgumentParser:
     ptab.set_defaults(fn=cmd_train)
     pdqn = st.add_parser("dqn", help="DQN (Deep_QLearning)", allow_abbrev=False)
     _add_dqn_args(pdqn)
+    # Train-only (eval/demo/gui share _add_dqn_args for model/restore
+    # flags but have no training loop to supervise):
+    pdqn.add_argument(
+        "--watchdog", type=float, default=0.0,
+        help="exit 70 if no training chunk completes within N seconds "
+             "(hang -> restartable crash; pair with --resume supervision, "
+             "scripts/train_supervised.sh; must exceed worst-case compile "
+             "+ checkpoint I/O, >=900 recommended on a tunneled TPU; "
+             "0 = off)")
     pdqn.set_defaults(fn=cmd_train)
 
     pe = sub.add_parser("eval", help="batched greedy/random evaluation", allow_abbrev=False)

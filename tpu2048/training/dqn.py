@@ -466,11 +466,17 @@ def train(
 
         watchdog = Watchdog(config.watchdog_timeout, label="dqn").start()
     try:
+        # Keyword args on purpose: several neighbors share a type
+        # (last_sync/last_prune/last_ckpt, the three callbacks) and a
+        # positional transposition would run while silently corrupting
+        # cadences.
         return _train_loop(
-            config, total_episodes, state, chunk, sync, prune, logs, prev,
-            block, last_sync, last_prune, last_ckpt, env0_episode,
-            log_fn, checkpoint_fn, milestone_fn, ckpt_manager, trace_fn,
-            watchdog,
+            config=config, total_episodes=total_episodes, state=state,
+            chunk=chunk, sync=sync, prune=prune, logs=logs, prev=prev,
+            block=block, last_sync=last_sync, last_prune=last_prune,
+            last_ckpt=last_ckpt, env0_episode=env0_episode, log_fn=log_fn,
+            checkpoint_fn=checkpoint_fn, milestone_fn=milestone_fn,
+            ckpt_manager=ckpt_manager, trace_fn=trace_fn, watchdog=watchdog,
         )
     finally:
         if watchdog is not None:
@@ -526,6 +532,8 @@ def _train_loop(
                 milestone_fn(state, ep, best)
             if ckpt_manager is not None:
                 ckpt_manager.save_named(f"tile_{best}_ep{ep}", state)
+                if watchdog is not None:
+                    watchdog.beat()  # named saves are slow host I/O too
         prev["best"] = max(prev["best"], best)
         if ep // config.checkpoint_episodes > last_ckpt // config.checkpoint_episodes:
             if checkpoint_fn:
@@ -609,6 +617,10 @@ def _train_loop(
                 block["restored"] = 0
             block["ep"] = int(state.episodes_done)
             block["tiles"] = float(state.sum_final_tile)
+            if watchdog is not None:
+                # Disk-store block save/restore moves GBs; memory-store
+                # copies are ms-scale but beating here is harmless.
+                watchdog.beat()
 
         now = time.time()
         d_ep = max(ep - prev["ep"], 1)

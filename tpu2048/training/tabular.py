@@ -190,6 +190,21 @@ def train(
         from tpu2048.utils.watchdog import Watchdog
 
         watchdog = Watchdog(config.watchdog_timeout, label="tabular").start()
+    try:
+        return _train_loop(
+            config, chunk, state, logs, prev, watchdog, log_fn, save_path
+        )
+    finally:
+        # Always reap the watchdog thread: if chunk() raises and the
+        # embedding process (a pytest session, a sweep driver) catches
+        # the exception and keeps running, a leaked watchdog would
+        # os._exit(70) it once the timeout elapsed.
+        if watchdog is not None:
+            watchdog.stop()
+
+
+def _train_loop(config, chunk, state, logs, prev, watchdog, log_fn,
+                save_path):
     while int(state.episodes_done) < config.total_episodes:
         state, eps = chunk(state)
         ep = int(state.episodes_done)
@@ -222,8 +237,6 @@ def train(
         logs.append(row)
         if log_fn:
             log_fn(row)
-    if watchdog is not None:
-        watchdog.stop()
     if save_path:
         tab.save_qtable(save_path, state.table)
     return logs
