@@ -16,7 +16,11 @@ cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD:${PYTHONPATH:-}"
 
 WATCHDOG=900
-MAX_RESTARTS=20
+MAX_RESTARTS=${SUPERVISE_MAX_RESTARTS:-20}
+# Cool-down after a watchdog exit: the PJRT relay's claim timeout must
+# expire before reattaching. Overridable for tests / local CPU runs.
+HANG_COOLDOWN=${SUPERVISE_HANG_COOLDOWN:-600}
+CRASH_COOLDOWN=${SUPERVISE_CRASH_COOLDOWN:-30}
 args=("$@")
 # Both spellings: "--watchdog N" and "--watchdog=N".
 case " $* " in *" --watchdog "* | *" --watchdog="*) WATCHDOG="" ;; esac
@@ -42,13 +46,11 @@ while :; do
     exit "$rc"
   fi
   if [ "$rc" -eq 70 ]; then
-    # Watchdog fired: the device tunnel may be wedged. Give the relay's
-    # claim timeout a chance to expire before reattaching.
-    echo "[supervise] watchdog exit (hang); cooling down 600 s, then resuming" >&2
-    sleep 600
+    echo "[supervise] watchdog exit (hang); cooling down ${HANG_COOLDOWN} s, then resuming" >&2
+    sleep "$HANG_COOLDOWN"
   else
-    echo "[supervise] exit rc=$rc; resuming in 30 s" >&2
-    sleep 30
+    echo "[supervise] exit rc=$rc; resuming in ${CRASH_COOLDOWN} s" >&2
+    sleep "$CRASH_COOLDOWN"
   fi
   resume=(--resume)
 done
