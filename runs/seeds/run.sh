@@ -6,23 +6,29 @@
 # the late mean score under seed variance.
 #
 # s1/s2 were run (round 2) WITH --rollback at the same cadence; they
-# double as the rollback-policy ablation. New seeds here run the
+# double as the rollback-policy ablation. Later seeds run the
 # run-of-record protocol exactly.
+#
+# Each seed runs under the watchdog+resume supervisor: the TPU tunnel on
+# this box wedges roughly hourly (observed twice on 2026-08-20), and a
+# checkpointed resume preserves the seed's full 3500 episodes instead of
+# truncating the band entry.
 # Sequential — ONE TPU process at a time on this machine.
 set -u
 cd /root/repo
 for s in "$@"; do
   d=runs/seeds/s$s
   mkdir -p "$d"
-  PYTHONPATH=/root/repo:${PYTHONPATH:-} python -m tpu2048 train dqn \
+  SUPERVISE_HANG_COOLDOWN=${SUPERVISE_HANG_COOLDOWN:-450} \
+  scripts/train_supervised.sh \
     --episodes 3500 --envs 128 --batch 64 --memory-size 50000 \
     --updates-per-episode 100 --steps-per-chunk 16 --seed "$s" \
-    --watchdog 1200 \
+    --watchdog 1200 --checkpoint-dir "$d/ckpt" --checkpoint-every 1000 \
     --log "$d/metrics.jsonl" > "$d/stdout.log" 2>&1
   rc=$?
-  # Durable completion marker: a watchdog-truncated run (rc=70) must not
-  # enter the PARITY seed band as if it finished (summarize.py warns on
-  # rc != 0 / missing marker).
+  # Durable completion marker: a truncated run (supervisor gave up) must
+  # not enter the PARITY seed band as if it finished (summarize.py skips
+  # rc != 0).
   echo "$rc" > "$d/rc.txt"
   echo "seed $s done rc=$rc"
 done
