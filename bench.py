@@ -2,8 +2,12 @@
 
 Prints ONE JSON line: env-steps/s for the full production step — the fused
 Pallas kernel (tpu2048/ops/pallas_step.py) doing merge/legality/in-kernel
-random-legal policy/spawn/game-over/auto-reset, plus the reward lane ops,
-under ``jit`` + ``lax.scan``.
+random-legal policy/spawn/game-over/auto-reset plus reward and episode
+accounting, under ``jit`` + ``lax.scan``. The headline path runs the
+multi-step rollout variant (``fused_env_rollout``: ``--rollout-k`` env
+steps per kernel launch, boards + episode accounting resident in VMEM
+across the window — tuned best at k=16, block 512); ``--rollout-k 1``
+measures the single-step kernel (``fast_step``) instead.
 
 ``vs_baseline``: the north-star target is 50M env-steps/s on a v5e-8
 (BASELINE.json:5), i.e. 6.25M env-steps/s/chip; ``vs_baseline`` is the
@@ -35,24 +39,37 @@ import time
 import jax
 import jax.numpy as jnp
 
-from tpu2048.env.fast import FastEnvConfig, fast_reset, fast_step
+from tpu2048.env.fast import (
+    FastEnvConfig,
+    fast_reset,
+    fast_rollout,
+    fast_step,
+)
 
 PER_CHIP_TARGET = 50e6 / 8  # BASELINE.json north star, per chip
 
 
-def main(batch: int = 131072, steps: int = 2048, warmup: int = 32) -> None:
+def main(batch: int = 131072, steps: int = 2048, warmup: int = 32,
+         rollout_k: int = 16) -> None:
     import numpy as np
 
-    config = FastEnvConfig(terminal_bonus=True)
+    config = FastEnvConfig(
+        terminal_bonus=True, block_size=512 if rollout_k > 1 else 1024
+    )
     state = fast_reset(config, jax.random.PRNGKey(0), batch)
+    if steps % rollout_k:
+        raise ValueError(f"steps {steps} not divisible by k {rollout_k}")
 
     @functools.partial(jax.jit, static_argnums=1)
     def rollout(state, n):
         def body(st, _):
+            if rollout_k > 1:
+                st, r, d = fast_rollout(config, st, rollout_k)
+                return st, (r.sum(), d.sum())
             st, ts = fast_step(config, st)
             return st, (ts.reward.sum(), ts.done.sum())
 
-        st, (r, d) = jax.lax.scan(body, state, None, length=n)
+        st, (r, d) = jax.lax.scan(body, state, None, length=n // rollout_k)
         # Reduce to scalars inside jit so the host fence transfers 8 bytes.
         return st, (r.sum(), d.sum())
 
@@ -369,6 +386,9 @@ if __name__ == "__main__":
     ap.add_argument("--train-batch", type=int, default=64,
                     help="learner batch for --learner")
     ap.add_argument("--updates", type=int, default=200)
+    ap.add_argument("--rollout-k", type=int, default=16,
+                    help="env steps per kernel launch for the headline "
+                         "bench (1 = single-step fast_step path)")
     a = ap.parse_args()
 
     if a.learner:
@@ -380,4 +400,4 @@ if __name__ == "__main__":
     elif a.scale:
         scale_main([int(x) for x in a.scale.split(",")])
     else:
-        main(batch=a.batch or 131072, steps=a.steps)
+        main(batch=a.batch or 131072, steps=a.steps, rollout_k=a.rollout_k)

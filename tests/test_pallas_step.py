@@ -169,6 +169,50 @@ def test_fast_env_rollout_interpret():
     assert int(np.asarray(state.score).sum()) > 0
 
 
+def test_multi_step_rollout_equals_single_steps():
+    """fused_env_rollout(k) ≡ k sequential fast_step calls, bit-for-bit.
+
+    On the external-RNG path fast_rollout draws the identical per-step bit
+    rows fast_step would at seed, seed+1, …, so the k-step window must
+    reproduce the exact carried state (boards, per-episode score/steps/
+    return) and its reward_sum/done_count must equal the sums of the
+    per-step timesteps — across episode boundaries (auto-resets inside
+    the window).
+    """
+    from tpu2048.env.fast import fast_rollout
+
+    config = FastEnvConfig(
+        terminal_bonus=True, block_size=BLK, interpret=True, external_rng=True
+    )
+    state = fast_reset(config, jax.random.PRNGKey(3), B)
+    # Warm the state past fresh boards so the window crosses resets.
+    for _ in range(50):
+        state, _ = fast_step(config, state)
+
+    k = 6
+    ref = state
+    rsum = np.zeros((B,), np.int64)
+    dcnt = np.zeros((B,), np.int64)
+    for _ in range(k):
+        ref, ts = fast_step(config, ref)
+        rsum += np.asarray(ts.reward).astype(np.int64)
+        dcnt += np.asarray(ts.done).astype(np.int64)
+
+    out, r, d = fast_rollout(config, state, k)
+    np.testing.assert_array_equal(np.asarray(out.boards),
+                                  np.asarray(ref.boards))
+    np.testing.assert_array_equal(np.asarray(out.score),
+                                  np.asarray(ref.score))
+    np.testing.assert_array_equal(np.asarray(out.episode_steps),
+                                  np.asarray(ref.episode_steps))
+    np.testing.assert_allclose(np.asarray(out.episode_return),
+                               np.asarray(ref.episode_return))
+    np.testing.assert_array_equal(np.asarray(r), rsum)
+    np.testing.assert_array_equal(np.asarray(d), dcnt)
+    assert int(out.seed) == int(ref.seed)
+    assert dcnt.sum() >= 0  # window may or may not cross a reset at k=6
+
+
 def test_fast_env_sharded_equals_unsharded():
     """shard_map'd kernel over the 8-device CPU mesh: with external bits
     the sharded step equals the single-device step exactly."""

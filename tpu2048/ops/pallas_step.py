@@ -167,38 +167,20 @@ def _tile_value(bits):
     )
 
 
-def _step_kernel(
-    emit_pre_reset: bool,
-    emit_legal: bool,
-    use_prng: bool,
-    seed_ref,
-    boards_ref,
-    actions_ref,
-    *refs,
-):
-    if use_prng:
-        bits_ref = None
-        (out_ref, score_ref, valid_ref, done_ref, max_exp_ref,
-         second_exp_ref, *rest) = refs
-    else:
-        bits_ref = refs[0]
-        (out_ref, score_ref, valid_ref, done_ref, max_exp_ref,
-         second_exp_ref, *rest) = refs[1:]
-    blk = boards_ref.shape[1]
-    if use_prng:
-        # Hash-seed from (step seed, block id) so block streams stay
-        # distinct across steps (seed+id addition would alias steps).
-        # One (8, blk) draw, sliced per use — cheaper than 7 PRNG calls
-        # and stream-layout-identical to the external test path.
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-        bits = pltpu.prng_random_bits((8, blk))
-        rand = lambda k: bits[k : k + 1, :]  # noqa: E731
-    else:
-        # Test/debug path: 8 externally-supplied uint32 streams per lane.
-        rand = lambda k: bits_ref[k : k + 1, :]  # noqa: E731
-    cells = [boards_ref[i : i + 1, :].astype(jnp.int32) for i in range(16)]
-    action = actions_ref[0:1, :]
+def _env_step_core(cells, action, rand):
+    """One env step on 16 (1, blk) int32 cell lanes — the shared core of
+    the single-step and multi-step (rollout) kernels.
 
+    Args:
+      cells: 16 arrays (1, blk) int32 — the board.
+      action: (1, blk) int32; < 0 means "random legal in-kernel".
+      rand: callable k -> (1, blk) uint32 — the 8 per-step bit rows.
+
+    Returns:
+      ``(final_cells, new_cells, score, moved, done, mx, second)`` where
+      ``final_cells`` is post-auto-reset, ``new_cells`` pre-reset, ``moved``
+      and ``done`` are bool lanes, the rest int32.
+    """
     ys, score_d, moved_d = _merge_all(cells)
     legal = [m != 0 for m in moved_d]
     n_legal = moved_d[0] + moved_d[1] + moved_d[2] + moved_d[3]
@@ -283,6 +265,45 @@ def _step_kernel(
     for i in range(16):
         fresh = jnp.where(p1 == i, v1, jnp.where(p2 == i, v2, jnp.int32(0)))
         final_cells.append(jnp.where(done, fresh, new_cells[i]))
+    return final_cells, new_cells, score, moved, done, mx, second
+
+
+def _step_kernel(
+    emit_pre_reset: bool,
+    emit_legal: bool,
+    use_prng: bool,
+    seed_ref,
+    boards_ref,
+    actions_ref,
+    *refs,
+):
+    if use_prng:
+        bits_ref = None
+        (out_ref, score_ref, valid_ref, done_ref, max_exp_ref,
+         second_exp_ref, *rest) = refs
+    else:
+        bits_ref = refs[0]
+        (out_ref, score_ref, valid_ref, done_ref, max_exp_ref,
+         second_exp_ref, *rest) = refs[1:]
+    blk = boards_ref.shape[1]
+    if use_prng:
+        # Hash-seed from (step seed, block id) so block streams stay
+        # distinct across steps (seed+id addition would alias steps).
+        # One (8, blk) draw, sliced per use — cheaper than 7 PRNG calls
+        # and stream-layout-identical to the external test path.
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        bits = pltpu.prng_random_bits((8, blk))
+        rand = lambda k: bits[k : k + 1, :]  # noqa: E731
+    else:
+        # Test/debug path: 8 externally-supplied uint32 streams per lane.
+        rand = lambda k: bits_ref[k : k + 1, :]  # noqa: E731
+    cells = [boards_ref[i : i + 1, :].astype(jnp.int32) for i in range(16)]
+    action = actions_ref[0:1, :]
+
+    final_cells, new_cells, score, moved, done, mx, second = _env_step_core(
+        cells, action, rand
+    )
+    for i in range(16):
         out_ref[i : i + 1, :] = final_cells[i].astype(jnp.int8)
         if emit_pre_reset:
             rest[0][i : i + 1, :] = new_cells[i].astype(jnp.int8)
@@ -408,6 +429,180 @@ def fused_env_step(
     if emit_legal:
         result = result + (outs[-1],)
     return result
+
+
+def _rollout_kernel(
+    k_steps: int,
+    use_prng: bool,
+    terminal_bonus: bool,
+    seed_ref,
+    boards_ref,
+    score_ref,
+    steps_ref,
+    ret_ref,
+    *refs,
+):
+    if use_prng:
+        bits_ref = None
+        (out_ref, oscore_ref, osteps_ref, oret_ref, rsum_ref,
+         dcnt_ref) = refs
+    else:
+        bits_ref = refs[0]
+        (out_ref, oscore_ref, osteps_ref, oret_ref, rsum_ref,
+         dcnt_ref) = refs[1:]
+    blk = boards_ref.shape[1]
+    if use_prng:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+
+    cells = [boards_ref[i : i + 1, :].astype(jnp.int32) for i in range(16)]
+    ep_score = score_ref[0:1, :]
+    ep_steps = steps_ref[0:1, :]
+    ep_ret = ret_ref[0:1, :]
+    action = jnp.full((1, blk), -1, jnp.int32)  # random-legal every step
+    rsum = jnp.zeros((1, blk), jnp.int32)
+    dcnt = jnp.zeros((1, blk), jnp.int32)
+
+    for it in range(k_steps):
+        if use_prng:
+            bits = pltpu.prng_random_bits((8, blk))
+            rand = lambda k, b=bits: b[k : k + 1, :]  # noqa: E731
+        else:
+            rand = (  # noqa: E731
+                lambda k, o=8 * it: bits_ref[o + k : o + k + 1, :]
+            )
+        cells, _, score, moved, done, mx, second = _env_step_core(
+            cells, action, rand
+        )
+        # Simple reward (nopenalty:122-138) + optional terminal bonus
+        # (mainDQL:202-213) — all integer-valued, accumulated exactly.
+        reward = jnp.where(~moved & ~done, jnp.int32(-10), score)
+        if terminal_bonus:
+            bonus = jnp.where(
+                mx >= 11,
+                jnp.int32(100),
+                jnp.where((mx >= 10) & (second >= 10), jnp.int32(50),
+                          jnp.int32(0)),
+            )
+            reward = reward + jnp.where(done, bonus, jnp.int32(0))
+        rsum = rsum + reward
+        dcnt = dcnt + done.astype(jnp.int32)
+        new_score = ep_score + score
+        new_steps = ep_steps + jnp.int32(1)
+        new_ret = ep_ret + reward.astype(jnp.float32)
+        zero = jnp.int32(0)
+        ep_score = jnp.where(done, zero, new_score)
+        ep_steps = jnp.where(done, zero, new_steps)
+        ep_ret = jnp.where(done, jnp.float32(0.0), new_ret)
+
+    for i in range(16):
+        out_ref[i : i + 1, :] = cells[i].astype(jnp.int8)
+    oscore_ref[0:1, :] = ep_score
+    osteps_ref[0:1, :] = ep_steps
+    oret_ref[0:1, :] = ep_ret
+    rsum_ref[0:1, :] = rsum
+    dcnt_ref[0:1, :] = dcnt
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_steps", "block_size", "terminal_bonus", "interpret"),
+)
+def fused_env_rollout(
+    boards,
+    score,
+    steps,
+    episode_return,
+    seed,
+    k_steps: int,
+    rng_bits=None,
+    *,
+    terminal_bonus: bool = True,
+    block_size: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+):
+    """``k_steps`` random-policy env steps in ONE kernel launch.
+
+    The multi-step variant of :func:`fused_env_step` for the
+    random-legal-policy regime (bench rollouts, replay burn-in, random
+    eval): the board and the episode accounting stay resident in VMEM
+    across all ``k_steps`` inner steps, so per-launch overhead and the
+    per-step HBM round-trip are amortized ``k_steps``-fold. Per-step
+    rewards are not materialized; the kernel accumulates their sum and
+    the number of completed episodes per lane (all rewards are
+    integer-valued — the accumulation is exact).
+
+    Args:
+      boards: ``(16, B)`` int8 cell-major exponent boards.
+      score / steps: ``(B,)`` int32 per-episode merge score / step count.
+      episode_return: ``(B,)`` f32 per-episode reward sum.
+      seed: scalar int32 — vary per launch.
+      k_steps: number of fused env steps per launch (static).
+      rng_bits: optional ``(8 * k_steps, B)`` uint32 — externally-supplied
+        bit rows, 8 per inner step in :func:`fused_env_step` row order
+        (interpret-mode tests / deterministic replay). None = on-core PRNG.
+      terminal_bonus: include the driver's terminal bonus
+        (mainDQL:202-213) in the reward, as
+        :func:`tpu2048.env.fast.fast_step` does.
+
+    Returns:
+      ``(new_boards, new_score, new_steps, new_episode_return,
+      reward_sum, done_count)`` — the first four are the carried state
+      after ``k_steps`` steps (episode fields reset on each done, exactly
+      as ``fast_step`` maintains them); ``reward_sum`` ``(B,)`` int32 and
+      ``done_count`` ``(B,)`` int32 are per-lane totals over the window.
+    """
+    b = boards.shape[1]
+    if b % block_size:
+        raise ValueError(f"batch {b} not divisible by block {block_size}")
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    row = lambda i: (0, i)  # noqa: E731
+    board_spec = pl.BlockSpec((16, block_size), row, memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec((1, block_size), row, memory_space=pltpu.VMEM)
+
+    use_prng = rng_bits is None
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        board_spec,
+        lane_spec,
+        lane_spec,
+        lane_spec,
+    ]
+    inputs = [
+        seed_arr,
+        boards,
+        score.reshape(1, b),
+        steps.reshape(1, b),
+        episode_return.reshape(1, b),
+    ]
+    if not use_prng:
+        in_specs.append(
+            pl.BlockSpec((8 * k_steps, block_size), row,
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(rng_bits)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((16, b), jnp.int8),
+        jax.ShapeDtypeStruct((1, b), jnp.int32),
+        jax.ShapeDtypeStruct((1, b), jnp.int32),
+        jax.ShapeDtypeStruct((1, b), jnp.float32),
+        jax.ShapeDtypeStruct((1, b), jnp.int32),
+        jax.ShapeDtypeStruct((1, b), jnp.int32),
+    )
+    out_specs = (board_spec, lane_spec, lane_spec, lane_spec, lane_spec,
+                 lane_spec)
+    outs = pl.pallas_call(
+        functools.partial(
+            _rollout_kernel, k_steps, use_prng, terminal_bonus
+        ),
+        grid=(b // block_size,),
+        in_specs=in_specs,
+        out_shape=out_shape,
+        out_specs=out_specs,
+        interpret=interpret,
+    )(*inputs)
+    new_boards, oscore, osteps, oret, rsum, dcnt = outs
+    return new_boards, oscore[0], osteps[0], oret[0], rsum[0], dcnt[0]
 
 
 def to_cell_major(boards):
