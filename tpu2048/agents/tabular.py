@@ -134,15 +134,25 @@ def qtable_lookup(table: QTable, boards):
     return jnp.where((match_slot >= 0)[:, None], q, 0.0)
 
 
-def qtable_update(table: QTable, boards, actions, targets, learning_rate):
+def qtable_update(table: QTable, boards, actions, targets, learning_rate,
+                  probe=None):
     """Batched Q-update toward ``targets`` (scatter-add of the TD step).
 
     Inserts unseen states (claiming a free probe slot, zero-initialized),
     then verifies claims — when two new states race for one slot, the loser
     drops its update and is counted in ``table.dropped``.
+
+    ``probe``: optional ``(lo, hi, match_slot, free_slot)`` from
+    :func:`choose_actions_probed` on the SAME table and boards — reuses
+    the action-selection probe instead of re-hashing/re-gathering (a probe
+    is ~1/3 of the step's table traffic; valid because the table does not
+    change between action selection and the update).
     """
-    lo, hi = pack_board(boards)
-    match_slot, free_slot = _probe(table, lo, hi)
+    if probe is not None:
+        lo, hi, match_slot, free_slot = probe
+    else:
+        lo, hi = pack_board(boards)
+        match_slot, free_slot = _probe(table, lo, hi)
     slot = jnp.where(match_slot >= 0, match_slot, free_slot)
     valid = slot >= 0
     safe_slot = jnp.maximum(slot, 0)
@@ -162,11 +172,20 @@ def qtable_update(table: QTable, boards, actions, targets, learning_rate):
     won = (key_lo[safe_slot] == lo) & (key_hi[safe_slot] == hi) & occupied[safe_slot]
     valid = valid & won
 
-    q_sa = table.q[safe_slot, actions]
+    # Whole-row read-modify-scatter: a 2-index (slot, action) element
+    # scatter lowers to an XLA path ~12x slower on TPU than a row
+    # scatter-add at the same batch (measured 9.2 ms vs 0.76 ms for 4096
+    # updates into a 2**24-row table — TPU gather/scatter cost is
+    # per-descriptor, so B row descriptors beat B element descriptors
+    # with an extra index dimension). Row .add keeps the documented
+    # duplicate-state semantics: same-slot updates combine additively.
+    onehot = jax.nn.one_hot(actions, 4, dtype=jnp.float32)
+    q_rows = table.q[safe_slot]  # (B, 4) row gather
+    q_sa = jnp.sum(q_rows * onehot, axis=1)
     q_sa = jnp.where(is_new & valid, 0.0, q_sa)  # fresh rows read as zero
     td = learning_rate * (targets - q_sa)
     td = jnp.where(valid, td, 0.0)
-    q = table.q.at[safe_slot, actions].add(td)
+    q = table.q.at[safe_slot].add(td[:, None] * onehot)
 
     dropped = table.dropped + jnp.sum((~valid).astype(jnp.int32))
     return QTable(key_lo=key_lo, key_hi=key_hi, occupied=occupied, q=q,
@@ -180,18 +199,31 @@ def q_learning_targets(table: QTable, rewards, next_boards, dones, discount):
     return rewards + discount * best * (1.0 - dones.astype(jnp.float32))
 
 
-def choose_actions(table: QTable, boards, epsilon, key):
-    """Batched epsilon-greedy (Agent/main.py:34-38).
+def choose_actions_probed(table: QTable, boards, epsilon, key):
+    """Batched epsilon-greedy (Agent/main.py:34-38), returning the probe.
 
     Random branch is uniform over all 4 actions; greedy branch is argmax of
     the state's Q-row (zeros -> action 0, matching np.argmax on zeros).
+    The returned ``(lo, hi, match_slot, free_slot)`` probe can be passed to
+    :func:`qtable_update` for the same boards to skip its re-probe.
     """
     b = boards.shape[0]
     k_expl, k_act = jax.random.split(key)
     explore = jax.random.uniform(k_expl, (b,)) < epsilon
     random_actions = jax.random.randint(k_act, (b,), 0, 4)
-    greedy = jnp.argmax(qtable_lookup(table, boards), axis=-1).astype(jnp.int32)
-    return jnp.where(explore, random_actions, greedy)
+    lo, hi = pack_board(boards)
+    match_slot, free_slot = _probe(table, lo, hi)
+    q = table.q[jnp.maximum(match_slot, 0)]
+    q = jnp.where((match_slot >= 0)[:, None], q, 0.0)
+    greedy = jnp.argmax(q, axis=-1).astype(jnp.int32)
+    actions = jnp.where(explore, random_actions, greedy)
+    return actions, (lo, hi, match_slot, free_slot)
+
+
+def choose_actions(table: QTable, boards, epsilon, key):
+    """Batched epsilon-greedy (Agent/main.py:34-38)."""
+    actions, _ = choose_actions_probed(table, boards, epsilon, key)
+    return actions
 
 
 def epsilon_for_epoch(epoch, config: TabularConfig):

@@ -118,7 +118,7 @@ def train_chunk(config: TabularTrainConfig, state: TabularTrainState):
             boards = ps.from_cell_major(st.env_state.boards)
         else:
             boards = st.env_state.board
-        actions = tab.choose_actions(st.table, boards, eps, k_act)
+        actions, probe = tab.choose_actions_probed(st.table, boards, eps, k_act)
         if engine == "fast":
             env_state, ts = fastlib.fast_step(
                 fcfg, st.env_state, actions, need_obs=True
@@ -131,7 +131,8 @@ def train_chunk(config: TabularTrainConfig, state: TabularTrainState):
             st.table, ts.reward, next_boards, ts.done, agent_cfg.discount
         )
         table = tab.qtable_update(
-            st.table, boards, actions, targets, agent_cfg.learning_rate
+            st.table, boards, actions, targets, agent_cfg.learning_rate,
+            probe=probe,
         )
         done_f = ts.done.astype(jnp.float32)
         st = TabularTrainState(
