@@ -53,7 +53,6 @@ class TabularConfig:
 class QTable:
     key_lo: jax.Array  # (S,) uint32 packed cells 0..7
     key_hi: jax.Array  # (S,) uint32 packed cells 8..15
-    occupied: jax.Array  # (S,) bool
     q: jax.Array  # (S, 4) f32
     dropped: jax.Array  # () int32 — updates lost to probe-window overflow
 
@@ -61,13 +60,23 @@ class QTable:
     def capacity(self) -> int:
         return self.key_lo.shape[0]
 
+    @property
+    def occupied(self) -> jax.Array:
+        """(S,) bool — derived: a slot is occupied iff its key is nonzero.
+
+        The all-zero key cannot collide with a real state (a 2048 board
+        always has at least one tile), so no separate occupancy array is
+        needed — dropping it saves one (B, PROBES) gather per probe and
+        one scatter per update on the hot path.
+        """
+        return (self.key_lo != 0) | (self.key_hi != 0)
+
 
 def qtable_init(capacity_log2: int = 20) -> QTable:
     s = 1 << capacity_log2
     return QTable(
         key_lo=jnp.zeros((s,), jnp.uint32),
         key_hi=jnp.zeros((s,), jnp.uint32),
-        occupied=jnp.zeros((s,), bool),
         q=jnp.zeros((s, 4), jnp.float32),
         dropped=jnp.zeros((), jnp.int32),
     )
@@ -108,11 +117,12 @@ def _probe(table: QTable, lo, hi):
     base = _hash(lo, hi, capacity)  # (B,)
     offs = jnp.arange(PROBES, dtype=jnp.int32)
     slots = (base[:, None] + offs[None, :]) & (capacity - 1)  # (B, P)
-    occ = table.occupied[slots]
-    match = occ & (table.key_lo[slots] == lo[:, None]) & (
-        table.key_hi[slots] == hi[:, None]
-    )
-    free = ~occ
+    wlo = table.key_lo[slots]
+    whi = table.key_hi[slots]
+    # Empty slot <=> key (0, 0) (see QTable.occupied): a real probing key is
+    # never all-zero, so key equality alone cannot match an empty slot.
+    match = (wlo == lo[:, None]) & (whi == hi[:, None])
+    free = (wlo == 0) & (whi == 0)
     first_match = jnp.argmax(match, axis=1)
     has_match = jnp.any(match, axis=1)
     first_free = jnp.argmax(free, axis=1)
@@ -166,10 +176,9 @@ def qtable_update(table: QTable, boards, actions, targets, learning_rate,
     key_hi = table.key_hi.at[claim_slot].set(
         jnp.where(is_new, hi, table.key_hi[claim_slot])
     )
-    occupied = table.occupied.at[claim_slot].set(
-        jnp.where(is_new, True, table.occupied[claim_slot])
-    )
-    won = (key_lo[safe_slot] == lo) & (key_hi[safe_slot] == hi) & occupied[safe_slot]
+    # Verify claims: a claimed slot whose key now reads back as ours is won
+    # (occupancy is implied — a real key is never (0, 0), QTable.occupied).
+    won = (key_lo[safe_slot] == lo) & (key_hi[safe_slot] == hi)
     valid = valid & won
 
     # Whole-row read-modify-scatter: a 2-index (slot, action) element
@@ -188,8 +197,7 @@ def qtable_update(table: QTable, boards, actions, targets, learning_rate,
     q = table.q.at[safe_slot].add(td[:, None] * onehot)
 
     dropped = table.dropped + jnp.sum((~valid).astype(jnp.int32))
-    return QTable(key_lo=key_lo, key_hi=key_hi, occupied=occupied, q=q,
-                  dropped=dropped)
+    return QTable(key_lo=key_lo, key_hi=key_hi, q=q, dropped=dropped)
 
 
 def q_learning_targets(table: QTable, rewards, next_boards, dones, discount):
@@ -285,10 +293,13 @@ def load_qtable(path: str) -> QTable:
     import numpy as np
 
     with np.load(path) as z:
+        # Older files carry an explicit "occupied" array; occupancy is now
+        # derived from the key sentinel (QTable.occupied), so it is
+        # ignored on load (key+occupancy were always written together, so
+        # the derived value is identical).
         return QTable(
             key_lo=jnp.asarray(z["key_lo"]),
             key_hi=jnp.asarray(z["key_hi"]),
-            occupied=jnp.asarray(z["occupied"]),
             q=jnp.asarray(z["q"]),
             dropped=jnp.asarray(z["dropped"]),
         )
