@@ -71,7 +71,10 @@ def main(batch: int = 131072, steps: int = 2048, warmup: int = 32,
 
         st, (r, d) = jax.lax.scan(body, state, None, length=n // rollout_k)
         # Reduce to scalars inside jit so the host fence transfers 8 bytes.
-        return st, (r.sum(), d.sum())
+        # f32 accumulation: the int32 total can exceed 2**31 at the
+        # headline config (131072 envs x 2048 steps x ~10 reward/step);
+        # this value is a host fence, but keep it non-wrapping anyway.
+        return st, (r.astype(jnp.float32).sum(), d.sum())
 
     # Methodology notes (this machine routes the TPU through a remote
     # tunnel): warm up with the SAME static length so the timed call reuses

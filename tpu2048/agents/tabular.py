@@ -121,8 +121,13 @@ def _probe(table: QTable, lo, hi):
     whi = table.key_hi[slots]
     # Empty slot <=> key (0, 0) (see QTable.occupied): a real probing key is
     # never all-zero, so key equality alone cannot match an empty slot.
-    match = (wlo == lo[:, None]) & (whi == hi[:, None])
-    free = (wlo == 0) & (whi == 0)
+    # An all-zero PROBING key (impossible for a real 2048 board, but
+    # representable by a padded/masked caller) would "match" every free
+    # slot; guard it to (-1, -1) so such entries read zeros and never
+    # claim a slot another state could later inherit.
+    real = ((lo | hi) != 0)[:, None]
+    match = (wlo == lo[:, None]) & (whi == hi[:, None]) & real
+    free = (wlo == 0) & (whi == 0) & real
     first_match = jnp.argmax(match, axis=1)
     has_match = jnp.any(match, axis=1)
     first_free = jnp.argmax(free, axis=1)

@@ -274,6 +274,17 @@ def fast_rollout(
       ``done_count`` ``(B,)`` int32 over the window.
     """
     b = state.batch_size
+    if config.backend == "lax":
+        # Oracle backend: no fused kernel — run the window step-by-step.
+        # (Each fast_step re-draws its own rng bits internally, so the
+        # kernel path's block draw below would be dead compute here.)
+        rsum = jnp.zeros((b,), jnp.int32)
+        dcnt = jnp.zeros((b,), jnp.int32)
+        for _ in range(k_steps):
+            state, ts = fast_step(config, state)
+            rsum = rsum + ts.reward.astype(jnp.int32)
+            dcnt = dcnt + ts.done.astype(jnp.int32)
+        return state, rsum, dcnt
     rng_bits = None
     if config.external_rng:
         # Per-inner-step streams drawn exactly as fast_step draws them at
@@ -292,15 +303,6 @@ def fast_rollout(
             ],
             axis=0,
         )
-    if config.backend == "lax":
-        # Oracle backend: no fused kernel — run the window step-by-step.
-        rsum = jnp.zeros((b,), jnp.int32)
-        dcnt = jnp.zeros((b,), jnp.int32)
-        for _ in range(k_steps):
-            state, ts = fast_step(config, state)
-            rsum = rsum + ts.reward.astype(jnp.int32)
-            dcnt = dcnt + ts.done.astype(jnp.int32)
-        return state, rsum, dcnt
     boards, score, steps, ep_ret, rsum, dcnt = ps.fused_env_rollout(
         state.boards,
         state.score,
