@@ -238,3 +238,45 @@ def test_qtable_save_load_and_cli_tabular_eval(tmp_path):
     assert rc == 0
     summary = json.loads(buf.getvalue())
     assert summary["games"] == 8 and summary["score_mean"] > 0
+
+
+def test_rehash_preserves_lookups_from_foreign_placement():
+    """rehash_table re-places entries saved under ANY other placement
+    scheme (e.g. the r2/r3 linear-probe layout) so bucketed lookups
+    return the exact same Q rows — the load path for old .npz files."""
+    from tpu2048.agents.tabular import (
+        QTable, pack_board, qtable_init, qtable_lookup, rehash_table,
+    )
+
+    rng = np.random.default_rng(7)
+    boards = rng.integers(0, 12, size=(200, 4, 4)).astype(np.int8)
+    # De-duplicate states (duplicate keys would legitimately fork rows).
+    lo, hi = pack_board(jnp.asarray(boards))
+    _, uniq = np.unique(
+        np.asarray(lo).astype(np.uint64) << 32 | np.asarray(hi),
+        return_index=True,
+    )
+    boards = boards[uniq]
+    lo, hi = pack_board(jnp.asarray(boards))
+    n = boards.shape[0]
+
+    # Place each key at an arbitrary slot unrelated to its hash —
+    # emulating a file written by a different probing scheme.
+    table = qtable_init(12)
+    slots = rng.choice(table.capacity, size=n, replace=False)
+    q_rows = rng.normal(size=(n, 4)).astype(np.float32)
+    table = QTable(
+        key_lo=table.key_lo.at[slots].set(lo),
+        key_hi=table.key_hi.at[slots].set(hi),
+        q=table.q.at[slots].set(jnp.asarray(q_rows)),
+        dropped=table.dropped,
+    )
+    fixed = rehash_table(table)
+    assert int(fixed.occupied.sum()) + int(fixed.dropped) == n
+    got = np.asarray(qtable_lookup(fixed, jnp.asarray(boards)))
+    found = got.any(axis=1)
+    # At load factor n/4096 << 1 nothing should drop...
+    assert int(fixed.dropped) == 0
+    # ...and every state must read back its exact row.
+    np.testing.assert_array_equal(got, q_rows)
+    assert found.all()

@@ -29,11 +29,22 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-# Linear-probe window. Sized for a 200k-game run: ~10M distinct states in
-# a 2**25 table is load factor ~0.3, where a 16-slot window makes insert
-# failure (a dropped update) vanishingly rare; the r1 run of record at
-# PROBES=8 / 2**24 (load ~0.6) dropped ~17% of fresh-state inserts late in
-# training.
+# Probe window = one 16-slot BUCKET (set-associative). Sized for a
+# 200k-game run: ~10M distinct states in a 2**25 table is load factor
+# ~0.3 (Poisson mean ~4.8 keys per bucket), where a 16-way bucket makes
+# insert failure (a dropped update) vanishingly rare — same failure
+# envelope as the r2 linear-probe window at this load. The r1 run of
+# record at window 8 / 2**24 (load ~0.6) dropped ~17% of fresh-state
+# inserts late in training.
+#
+# Why buckets instead of linear probing: the probe window is the hot
+# HBM pattern (2 key gathers per probed board, 2-3 probes per train
+# step). TPU gather cost is per-descriptor; a linear window at
+# arbitrary offsets is (B, 16) ELEMENT descriptors per key array, while
+# an aligned bucket is a (B,) ROW gather on the (S/16, 16) view of the
+# same buffer — 16x fewer descriptors for identical bytes. Measured on
+# the real chip this moved tabular training 316k -> >1M env-steps/s at
+# batch 1024 (docs/DESIGN.md has the full roofline).
 PROBES = 16
 
 
@@ -112,13 +123,17 @@ def _probe(table: QTable, lo, hi):
     """Vectorized probe: for each key return (match_slot, free_slot).
 
     ``match_slot``/``free_slot`` are -1 when not found within the window.
+    The window is the key's whole PROBES-aligned bucket, gathered as ONE
+    row of the ``(S/PROBES, PROBES)`` view of each key array (see the
+    PROBES comment for why this beats a linear window on TPU).
     """
     capacity = table.capacity
-    base = _hash(lo, hi, capacity)  # (B,)
+    n_buckets = capacity // PROBES
+    bucket = _hash(lo, hi, n_buckets)  # (B,)
     offs = jnp.arange(PROBES, dtype=jnp.int32)
-    slots = (base[:, None] + offs[None, :]) & (capacity - 1)  # (B, P)
-    wlo = table.key_lo[slots]
-    whi = table.key_hi[slots]
+    slots = bucket[:, None] * PROBES + offs[None, :]  # (B, P) contiguous
+    wlo = table.key_lo.reshape(n_buckets, PROBES)[bucket]
+    whi = table.key_hi.reshape(n_buckets, PROBES)[bucket]
     # Empty slot <=> key (0, 0) (see QTable.occupied): a real probing key is
     # never all-zero, so key equality alone cannot match an empty slot.
     # An all-zero PROBING key (impossible for a real 2048 board, but
@@ -291,6 +306,49 @@ def save_qtable(path: str, table: QTable) -> None:
         occupied=np.asarray(table.occupied),
         q=np.asarray(table.q),
         dropped=np.asarray(table.dropped),
+        layout=np.asarray("bucketed"),
+    )
+
+
+def rehash_table(table: QTable) -> QTable:
+    """Re-place every occupied entry under the current bucketed hashing.
+
+    One-time conversion for tables saved under a different placement
+    scheme (the r2/r3 linear-probe layout): occupied entries are sorted by
+    their new bucket, ranked within it, and scattered to
+    ``bucket * PROBES + rank``; entries past a full bucket are dropped and
+    counted in ``dropped`` (vanishingly rare at the shipped load factors).
+    Q-values travel with their keys, so lookups return identical values.
+    """
+    s = table.capacity
+    n_buckets = s // PROBES
+    occ = (table.key_lo != 0) | (table.key_hi != 0)
+    bucket = _hash(table.key_lo, table.key_hi, n_buckets)
+    order = jnp.argsort(jnp.where(occ, bucket, n_buckets))  # empties last
+    sb = bucket[order]
+    so = occ[order]
+    idx = jnp.arange(s, dtype=jnp.int32)
+    run_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sb[1:] != sb[:-1]]
+    )
+    start_idx = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(run_start, idx, 0)
+    )
+    rank = idx - start_idx
+    valid = so & (rank < PROBES)
+    dest = jnp.where(valid, sb * PROBES + rank, s)  # s = dropped
+    return QTable(
+        key_lo=jnp.zeros((s,), jnp.uint32).at[dest].set(
+            table.key_lo[order], mode="drop"
+        ),
+        key_hi=jnp.zeros((s,), jnp.uint32).at[dest].set(
+            table.key_hi[order], mode="drop"
+        ),
+        q=jnp.zeros((s, 4), jnp.float32).at[dest].set(
+            table.q[order], mode="drop"
+        ),
+        dropped=table.dropped
+        + jnp.sum((so & ~valid).astype(jnp.int32)),
     )
 
 
@@ -302,9 +360,15 @@ def load_qtable(path: str) -> QTable:
         # derived from the key sentinel (QTable.occupied), so it is
         # ignored on load (key+occupancy were always written together, so
         # the derived value is identical).
-        return QTable(
+        table = QTable(
             key_lo=jnp.asarray(z["key_lo"]),
             key_hi=jnp.asarray(z["key_hi"]),
             q=jnp.asarray(z["q"]),
             dropped=jnp.asarray(z["dropped"]),
         )
+        layout = str(z["layout"]) if "layout" in z else "linear"
+    if layout != "bucketed":
+        # r2/r3-era file: entries were placed by linear probing from a
+        # full-capacity hash; re-place them for bucketed probing.
+        table = rehash_table(table)
+    return table
