@@ -57,8 +57,10 @@ def test_engine_resolution():
             dqn_config(env=EnvConfig(reward=SIMPLE, quirk_compat=True),
                        engine="fast")
         )
+    # Shaped envs run on the fast engine too since the shaped kernel
+    # mode landed (r4); quirk-compat remains lax-only.
     tab_shaped = tabtrain.TabularTrainConfig(env=EnvConfig(reward=SHAPED))
-    assert tabtrain.resolve_engine(tab_shaped) == "lax"
+    assert tabtrain.resolve_engine(tab_shaped) == "fast"
     tab_simple = tabtrain.TabularTrainConfig(env=EnvConfig(reward=SIMPLE))
     assert tabtrain.resolve_engine(tab_simple) == "fast"
 

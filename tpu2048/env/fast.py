@@ -48,6 +48,15 @@ class FastEnvConfig:
     external_rng: bool = False  # feed jax.random bits instead of TPU PRNG
     # (required for interpret mode — the interpreter has no core PRNG)
     backend: str = "pallas"  # "pallas" (fused kernel) or "lax" (oracle)
+    # SHAPED-reward mode (QLearningBase, Game2048_env.py:78-205): the
+    # kernel runs v1 done semantics + stall force-done, and the shaped
+    # reward/stall-penalty/prev-max lanes are fused elementwise ops
+    # outside the kernel (identical code to the classic env's —
+    # tpu2048.env.rewards — so the formulas cannot drift apart).
+    shaped: bool = False
+    max_consecutive_actions: int = 10  # Game2048_env.py:92
+    stall_force_done: int = 100  # Game2048_env.py:123
+    reset_shaping: bool = False  # EnvConfig.reset_shaping_on_reset
 
     def __post_init__(self):
         if self.backend not in ("pallas", "lax"):
@@ -60,19 +69,21 @@ def resolve_engine(env_config, engine: str,
                    require_auto_reset: bool = True) -> str:
     """THE fast-engine eligibility rule, shared by every driver.
 
-    The fused kernel implements exactly the simple-reward
-    (nopenalty:122-138), non-quirk, auto-resetting semantics; anything
-    else needs the op-by-op lax env. ``require_auto_reset=False`` is for
-    the eval harness, which latches each board's first completion and so
-    tolerates (ignores) the kernel's free auto-restarts.
+    The fused kernel implements the simple-reward (nopenalty:122-138) and
+    shaped-reward (Game2048_env.py:136-205, incl. v1 done semantics and
+    the stall machinery) non-quirk, auto-resetting semantics; quirk-compat
+    and explicit-spawn parity replay need the op-by-op lax env.
+    ``require_auto_reset=False`` is for the eval harness, which latches
+    each board's first completion and so tolerates (ignores) the kernel's
+    free auto-restarts.
 
     "auto" picks "fast" when eligible; an explicit "fast" on an
     ineligible env raises.
     """
-    from tpu2048.env.env import SIMPLE  # local import: no cycle
+    from tpu2048.env.env import SHAPED, SIMPLE  # local import: no cycle
 
     fast_ok = (
-        env_config.reward == SIMPLE
+        env_config.reward in (SIMPLE, SHAPED)
         and not env_config.quirk_compat
         and (env_config.auto_reset or not require_auto_reset)
     )
@@ -80,7 +91,7 @@ def resolve_engine(env_config, engine: str,
         return "fast" if fast_ok else "lax"
     if engine == "fast" and not fast_ok:
         raise ValueError(
-            "engine='fast' requires simple-reward, non-quirk"
+            "engine='fast' requires non-quirk"
             + (", auto-reset" if require_auto_reset else "")
             + f" env semantics (got {env_config})"
         )
@@ -99,7 +110,8 @@ def fit_block(batch: int, block: int) -> int:
 
 
 def for_backend(terminal_bonus: bool = True, batch_size: int = 0,
-                shards: int = 1, backend: Optional[str] = None) -> FastEnvConfig:
+                shards: int = 1, backend: Optional[str] = None,
+                env_config=None) -> FastEnvConfig:
     """A FastEnvConfig tuned for the current JAX backend.
 
     On TPU: the fused kernel with the on-core PRNG, block size set to the
@@ -108,17 +120,34 @@ def for_backend(terminal_bonus: bool = True, batch_size: int = 0,
     multichip dry-run): interpret mode with external jax.random bits.
     ``backend="lax"`` selects the op-by-op differential oracle (always
     external-RNG).
+
+    ``env_config`` (an :class:`tpu2048.env.EnvConfig`) carries the reward
+    variant: SHAPED envs run the kernel in shaped mode with the config's
+    stall parameters (``terminal_bonus`` then comes from it too).
     """
     on_cpu = jax.default_backend() == "cpu"
     per_shard = max(batch_size // max(shards, 1), 1)
     block = fit_block(per_shard, ps.DEFAULT_BLOCK) if batch_size \
         else ps.DEFAULT_BLOCK
+    shaped_kwargs = {}
+    if env_config is not None:
+        from tpu2048.env.env import SHAPED  # local import: no cycle
+
+        terminal_bonus = env_config.terminal_bonus
+        if env_config.reward == SHAPED:
+            shaped_kwargs = dict(
+                shaped=True,
+                max_consecutive_actions=env_config.max_consecutive_actions,
+                stall_force_done=env_config.stall_force_done,
+                reset_shaping=env_config.reset_shaping_on_reset,
+            )
     return FastEnvConfig(
         terminal_bonus=terminal_bonus,
         block_size=block,
         interpret=on_cpu,
         external_rng=on_cpu or backend == "lax",
         backend=backend or "pallas",
+        **shaped_kwargs,
     )
 
 
@@ -134,6 +163,23 @@ class FastEnvState:
     @property
     def batch_size(self) -> int:
         return self.boards.shape[1]
+
+
+@struct.dataclass
+class ShapedFastEnvState(FastEnvState):
+    """FastEnvState + the shaped env's cross-episode shaping lanes.
+
+    Mirrors the classic :class:`tpu2048.env.env.EnvState` shaping fields
+    (Game2048_env.py:87,92-95): ``prev_max`` is the running best max tile
+    VALUE (not exponent; init 2, faithfully NOT reset between episodes),
+    the consec lanes are the anti-stall counters. A separate class so
+    simple-mode checkpoints keep their exact pytree.
+    """
+
+    prev_max: jax.Array = None  # (B,) int32 tile value
+    consec_action: jax.Array = None  # (B,) int32, -1 = none yet
+    consec_count: jax.Array = None  # (B,) int32
+    last_consec_penalty: jax.Array = None  # (B,) f32
 
 
 @struct.dataclass
@@ -153,7 +199,7 @@ def fast_reset(config: FastEnvConfig, key, batch_size: int) -> FastEnvState:
     boards = jax.vmap(board_ops.init_board)(
         jax.random.split(k_boards, batch_size)
     )
-    return FastEnvState(
+    common = dict(
         boards=ps.to_cell_major(boards),
         legal=board_ops.legal_moves_mask(boards),
         score=jnp.zeros((batch_size,), jnp.int32),
@@ -161,6 +207,15 @@ def fast_reset(config: FastEnvConfig, key, batch_size: int) -> FastEnvState:
         episode_return=jnp.zeros((batch_size,), jnp.float32),
         seed=jax.random.randint(k_seed, (), 0, 1 << 30, dtype=jnp.int32),
     )
+    if config.shaped:
+        return ShapedFastEnvState(
+            **common,
+            prev_max=jnp.full((batch_size,), 2, jnp.int32),
+            consec_action=jnp.full((batch_size,), -1, jnp.int32),
+            consec_count=jnp.zeros((batch_size,), jnp.int32),
+            last_consec_penalty=jnp.full((batch_size,), -1.0, jnp.float32),
+        )
+    return FastEnvState(**common)
 
 
 # The kernel's OWN draw helpers — shared, not mirrored, so the oracle
@@ -173,7 +228,8 @@ def _tile_value(bits):
     return ps._tile_value(bits).astype(jnp.int8)
 
 
-def lax_fast_step(boards_cm, actions, rng_bits):
+def lax_fast_step(boards_cm, actions, rng_bits, force_done=None,
+                  shaped_done: bool = False):
     """Pure-lax mirror of :func:`ps.fused_env_step` (emit everything).
 
     Consumes the identical 8 uint32 bit rows per lane the kernel does
@@ -181,8 +237,13 @@ def lax_fast_step(boards_cm, actions, rng_bits):
     reset-v1, reset-v2) and matches it bit-for-bit — the differential
     oracle for the kernel and the CPU fallback of the fast env.
 
+    ``shaped_done`` switches to the kernel's shaped mode (v1 done
+    semantics ``(~moved & game_over) | force_done``) and inserts
+    ``game_over`` into the returned tuple after ``second_exp``, exactly
+    like the kernel's ``force_done`` path.
+
     Returns the full kernel tuple ``(new_boards_cm, score, valid, done,
-    max_exp, second_exp, pre_reset_cm, legal_next_4B)``.
+    max_exp, second_exp[, game_over], pre_reset_cm, legal_next_4B)``.
     """
     boards = ps.from_cell_major(boards_cm)
     b = boards.shape[0]
@@ -209,7 +270,13 @@ def lax_fast_step(boards_cm, actions, rng_bits):
     spawned = jax.vmap(board_ops.spawn_at)(merged, idx, val)
     new_board = jnp.where(moved[:, None, None], spawned, boards)
 
-    done = board_ops.is_game_over(new_board)
+    game_over = board_ops.is_game_over(new_board)
+    if shaped_done:
+        done = ~moved & game_over
+        if force_done is not None:
+            done = done | force_done
+    else:
+        done = game_over
 
     # Terminal stats: max exponent and the second-max with the kernel's
     # "skip the first max cell in cell order" semantics.
@@ -236,13 +303,17 @@ def lax_fast_step(boards_cm, actions, rng_bits):
     final = jnp.where(done[:, None, None], fresh, new_board)
     legal_next = board_ops.legal_moves_mask(final)
 
-    return (
+    head = (
         ps.to_cell_major(final),
         score,
         moved,
         done,
         jnp.max(new_board, axis=(-1, -2)),
         second.astype(jnp.int8),
+    )
+    if shaped_done:
+        head = head + (game_over,)
+    return head + (
         ps.to_cell_major(new_board),
         legal_next.T.astype(jnp.int8),
     )
@@ -274,6 +345,13 @@ def fast_rollout(
       ``done_count`` ``(B,)`` int32 over the window.
     """
     b = state.batch_size
+    if config.shaped:
+        raise ValueError(
+            "fast_rollout implements the simple-reward random-policy "
+            "window; the shaped env's stall counters need the explicit "
+            "action stream (see _shaped_fast_step) — step it with "
+            "fast_step instead."
+        )
     if config.backend == "lax":
         # Oracle backend: no fused kernel — run the window step-by-step.
         # (Each fast_step re-draws its own rng bits internally, so the
@@ -345,11 +423,18 @@ def make_sharded_kernel(
 
     external = config.external_rng
     use_lax = config.backend == "lax"
+    shaped = config.shaped
+    n_head = 7 + (1 if shaped else 0)  # outputs through pre-reset boards
 
-    def local(boards, actions, seed, rng_bits=None):
+    def local(boards, actions, seed, *extra):
+        extra = list(extra)
+        rng_bits = extra.pop(0) if external else None
+        force_done = extra.pop(0) if shaped else None
         if use_lax:
-            outs = lax_fast_step(boards, actions, rng_bits)
-            return outs if need_legal else outs[:7]
+            outs = lax_fast_step(
+                boards, actions, rng_bits, force_done, shaped_done=shaped
+            )
+            return outs if need_legal else outs[:n_head]
         # Decorrelate device PRNG streams (no-op when bits are external —
         # they are already sharded per device).
         seed = seed + jax.lax.axis_index(data_axis) * jnp.int32(7919)
@@ -358,6 +443,7 @@ def make_sharded_kernel(
             actions,
             seed,
             rng_bits,
+            force_done,
             # Fit to the PER-DEVICE shard here (boards is the local
             # slice at trace time): config.block_size was derived from
             # the replay layout, which need not match the mesh's data
@@ -372,6 +458,8 @@ def make_sharded_kernel(
     in_specs = [P(None, data_axis), P(data_axis), P()]
     if external:
         in_specs.append(P(None, data_axis))
+    if shaped:
+        in_specs.append(P(data_axis))  # force_done lane
     out_specs = (
         P(None, data_axis),  # new boards
         P(data_axis),  # score
@@ -379,8 +467,10 @@ def make_sharded_kernel(
         P(data_axis),  # done
         P(data_axis),  # max_exp
         P(data_axis),  # second_exp
-        P(None, data_axis),  # pre-reset boards
     )
+    if shaped:
+        out_specs = out_specs + (P(data_axis),)  # game_over
+    out_specs = out_specs + (P(None, data_axis),)  # pre-reset boards
     if need_legal:
         out_specs = out_specs + (P(None, data_axis),)  # (4, B) legal
     return jax.shard_map(
@@ -407,6 +497,10 @@ def fast_step(
     with matching ``need_legal``) routes the kernel through shard_map for
     multi-device meshes.
     """
+    if config.shaped:
+        return _shaped_fast_step(
+            config, state, actions, need_obs, need_legal, sharded_kernel
+        )
     b = state.batch_size
     if actions is None:
         actions = jnp.full((b,), -1, jnp.int32)
@@ -490,5 +584,145 @@ def fast_step(
         episode_steps=jnp.where(done, 0, episode_steps),
         episode_return=jnp.where(done, 0.0, episode_return),
         seed=state.seed + 1,
+    )
+    return new_state, ts
+
+
+def _shaped_fast_step(
+    config: FastEnvConfig,
+    state: "ShapedFastEnvState",
+    actions,
+    need_obs: bool,
+    need_legal: bool,
+    sharded_kernel=None,
+) -> Tuple["ShapedFastEnvState", FastTimeStep]:
+    """Shaped-reward fast step (QLearningBase env, Game2048_env.py:78-205).
+
+    Decomposition: the kernel runs the board mechanics with the v1 done
+    rule (``done = (~moved & game_over) | force_done``) and emits
+    ``game_over`` separately; everything float — the shaped reward
+    (:func:`tpu2048.env.rewards.shaped_reward`, the SAME function the
+    classic lax env calls, so the formulas cannot diverge), the stall
+    penalty ladder, and the ``prev_max`` bonus state — is fused
+    elementwise lane math outside the kernel. The stall force-done cutoff
+    is a pure function of the action stream, computed BEFORE the kernel
+    and passed in as a lane.
+
+    Given identical boards, actions, and spawn draws this matches
+    :func:`tpu2048.env.env.step_with_spawn` on a SHAPED config bit-for-bit
+    (tests/test_fast_shaped.py).
+    """
+    b = state.batch_size
+    if actions is None:
+        raise ValueError(
+            "the shaped fast env requires explicit actions: its stall "
+            "counters (Game2048_env.py:110-127) are a function of the "
+            "action stream, which the in-kernel random policy never "
+            "exposes. Use the lax engine for random-policy shaped runs."
+        )
+    actions = jnp.asarray(actions, jnp.int32)
+
+    # Stall counters (Game2048_env.py:110-127) — pre-kernel lane math.
+    same = actions == state.consec_action
+    consec_count = jnp.where(same, state.consec_count + 1, 1)
+    force_done = consec_count > config.stall_force_done
+
+    rng_bits = None
+    if config.external_rng:
+        key = jax.random.fold_in(jax.random.PRNGKey(2048), state.seed)
+        rng_bits = jax.random.bits(key, (8, b), jnp.uint32)
+    if sharded_kernel is not None:
+        args = (state.boards, actions, jnp.asarray(state.seed, jnp.int32))
+        if rng_bits is not None:
+            args = args + (rng_bits,)
+        outs = sharded_kernel(*args, force_done)
+        have_pre = True
+        if need_legal and len(outs) < 9:
+            raise ValueError(
+                "need_legal=True requires a sharded kernel built with "
+                "make_sharded_kernel(..., need_legal=True)"
+            )
+    elif config.backend == "lax":
+        outs = lax_fast_step(
+            state.boards, actions, rng_bits, force_done, shaped_done=True
+        )
+        have_pre = True
+    else:
+        outs = ps.fused_env_step(
+            state.boards,
+            actions,
+            state.seed,
+            rng_bits,
+            force_done,
+            block_size=fit_block(b, config.block_size),
+            emit_pre_reset=need_obs,
+            emit_legal=need_legal,
+            interpret=config.interpret,
+        )
+        have_pre = need_obs
+    (new_boards, merge_score, valid, done, max_exp, second_exp,
+     game_over) = outs[:7]
+    valid = jnp.asarray(valid) != 0 if valid.dtype != jnp.bool_ else valid
+    done = jnp.asarray(done) != 0 if done.dtype != jnp.bool_ else done
+    game_over = (
+        jnp.asarray(game_over) != 0
+        if game_over.dtype != jnp.bool_ else game_over
+    )
+    obs = outs[7] if have_pre else new_boards
+    if need_legal:
+        legal = (outs[-1] != 0).T  # (4, B) int8 -> (B, 4) bool
+    else:
+        legal = state.legal
+
+    max_number = jnp.where(
+        max_exp > 0,
+        jnp.left_shift(jnp.int32(1), max_exp.astype(jnp.int32)),
+        0,
+    )
+    # Shaped reward + stall penalty — the classic env's exact code path
+    # (env.step_with_spawn SHAPED branch, Game2048_env.py:110-127,136-205).
+    from tpu2048.env import rewards as rw
+
+    reward, new_prev_max = rw.shaped_reward(
+        merge_score, valid, game_over, max_number, state.prev_max
+    )
+    last_penalty = jnp.where(same, state.last_consec_penalty, -1.0)
+    stalled = consec_count > config.max_consecutive_actions
+    penalty = jnp.maximum(last_penalty * 1.1, -10.0)
+    last_penalty = jnp.where(stalled, penalty, last_penalty)
+    reward = reward + jnp.where(stalled, penalty, 0.0)
+
+    episode_return = state.episode_return + reward
+    episode_steps = state.episode_steps + 1
+    score = state.score + merge_score
+    ts = FastTimeStep(
+        obs=obs,
+        reward=reward,
+        done=done,
+        valid=valid,
+        merge_score=merge_score,
+        max_number=max_number,
+        episode_return=episode_return,
+        episode_steps=episode_steps,
+    )
+    # Auto-reset: episode lanes clear; shaping lanes persist across
+    # episodes (faithful to Game2048_env.py:187-191) unless reset_shaping.
+    consec_action = actions
+    if config.reset_shaping:
+        new_prev_max = jnp.where(done, 2, new_prev_max)
+        consec_action = jnp.where(done, -1, consec_action)
+        consec_count = jnp.where(done, 0, consec_count)
+        last_penalty = jnp.where(done, -1.0, last_penalty)
+    new_state = ShapedFastEnvState(
+        boards=new_boards,
+        legal=legal,
+        score=jnp.where(done, 0, score),
+        episode_steps=jnp.where(done, 0, episode_steps),
+        episode_return=jnp.where(done, 0.0, episode_return),
+        seed=state.seed + 1,
+        prev_max=new_prev_max,
+        consec_action=consec_action,
+        consec_count=consec_count,
+        last_consec_penalty=last_penalty,
     )
     return new_state, ts

@@ -286,9 +286,9 @@ def _evaluate_fast(
     while remaining > 0:
         b = min(batch_size, remaining)
         fcfg = fastlib.for_backend(
-            terminal_bonus=env_config.terminal_bonus,
             batch_size=b,
             backend=fast_backend,
+            env_config=env_config,
         )
         key, k_reset = jax.random.split(key)
         state = fastlib.fast_reset(fcfg, k_reset, b)

@@ -167,7 +167,8 @@ def _tile_value(bits):
     )
 
 
-def _env_step_core(cells, action, rand):
+def _env_step_core(cells, action, rand, force_done=None,
+                   shaped_done: bool = False):
     """One env step on 16 (1, blk) int32 cell lanes — the shared core of
     the single-step and multi-step (rollout) kernels.
 
@@ -175,11 +176,21 @@ def _env_step_core(cells, action, rand):
       cells: 16 arrays (1, blk) int32 — the board.
       action: (1, blk) int32; < 0 means "random legal in-kernel".
       rand: callable k -> (1, blk) uint32 — the 8 per-step bit rows.
+      force_done: optional (1, blk) bool — lanes terminated regardless of
+        the board (the shaped env's >100-consecutive-same-actions stall
+        cutoff, Game2048_env.py:123-127; the counter itself lives outside
+        the kernel — it is pure lane arithmetic on the action stream).
+      shaped_done: v1 episode-end semantics (Game2048_env.py:97-129):
+        ``done = (~moved & game_over) | force_done`` — a dead board ends
+        the episode only on the following (necessarily invalid) move —
+        instead of the v2-fixed ``done = game_over``.
 
     Returns:
-      ``(final_cells, new_cells, score, moved, done, mx, second)`` where
-      ``final_cells`` is post-auto-reset, ``new_cells`` pre-reset, ``moved``
-      and ``done`` are bool lanes, the rest int32.
+      ``(final_cells, new_cells, score, moved, done, mx, second,
+      game_over)`` where ``final_cells`` is post-auto-reset, ``new_cells``
+      pre-reset, ``moved``/``done``/``game_over`` are bool lanes, the rest
+      int32. ``game_over`` (no legal move on the post-step board) equals
+      ``done`` unless ``shaped_done``.
     """
     ys, score_d, moved_d = _merge_all(cells)
     legal = [m != 0 for m in moved_d]
@@ -241,7 +252,13 @@ def _env_step_core(cells, action, rand):
             h = new_cells[i] == new_cells[i + 1]  # horizontal neighbor
             v = new_cells[c * 4 + r] == new_cells[c * 4 + r + 4]  # vertical
             pair = (h | v) if pair is None else (pair | h | v)
-    done = ~(has_empty | pair)
+    game_over = ~(has_empty | pair)
+    if shaped_done:
+        done = (~moved & game_over)
+        if force_done is not None:
+            done = done | force_done
+    else:
+        done = game_over
 
     # Terminal stats (pre-reset): max and second-max exponents — feeds
     # max_number and the driver's terminal bonus (mainDQL:202-213).
@@ -265,26 +282,25 @@ def _env_step_core(cells, action, rand):
     for i in range(16):
         fresh = jnp.where(p1 == i, v1, jnp.where(p2 == i, v2, jnp.int32(0)))
         final_cells.append(jnp.where(done, fresh, new_cells[i]))
-    return final_cells, new_cells, score, moved, done, mx, second
+    return final_cells, new_cells, score, moved, done, mx, second, game_over
 
 
 def _step_kernel(
     emit_pre_reset: bool,
     emit_legal: bool,
     use_prng: bool,
+    shaped: bool,
     seed_ref,
     boards_ref,
     actions_ref,
     *refs,
 ):
-    if use_prng:
-        bits_ref = None
-        (out_ref, score_ref, valid_ref, done_ref, max_exp_ref,
-         second_exp_ref, *rest) = refs
-    else:
-        bits_ref = refs[0]
-        (out_ref, score_ref, valid_ref, done_ref, max_exp_ref,
-         second_exp_ref, *rest) = refs[1:]
+    refs = list(refs)
+    bits_ref = None if use_prng else refs.pop(0)
+    force_done_ref = refs.pop(0) if shaped else None
+    (out_ref, score_ref, valid_ref, done_ref, max_exp_ref,
+     second_exp_ref, *rest) = refs
+    game_over_ref = rest.pop(0) if shaped else None
     blk = boards_ref.shape[1]
     if use_prng:
         # Hash-seed from (step seed, block id) so block streams stay
@@ -299,9 +315,13 @@ def _step_kernel(
         rand = lambda k: bits_ref[k : k + 1, :]  # noqa: E731
     cells = [boards_ref[i : i + 1, :].astype(jnp.int32) for i in range(16)]
     action = actions_ref[0:1, :]
+    force_done = None
+    if shaped:
+        force_done = force_done_ref[0:1, :] != 0
 
-    final_cells, new_cells, score, moved, done, mx, second = _env_step_core(
-        cells, action, rand
+    (final_cells, new_cells, score, moved, done, mx, second,
+     game_over) = _env_step_core(
+        cells, action, rand, force_done=force_done, shaped_done=shaped
     )
     for i in range(16):
         out_ref[i : i + 1, :] = final_cells[i].astype(jnp.int8)
@@ -321,6 +341,8 @@ def _step_kernel(
     done_ref[0:1, :] = done.astype(jnp.int8)
     max_exp_ref[0:1, :] = mx.astype(jnp.int8)
     second_exp_ref[0:1, :] = second.astype(jnp.int8)
+    if shaped:
+        game_over_ref[0:1, :] = game_over.astype(jnp.int8)
 
 
 @functools.partial(
@@ -333,6 +355,7 @@ def fused_env_step(
     actions,
     seed,
     rng_bits=None,
+    force_done=None,
     *,
     block_size: int = DEFAULT_BLOCK,
     emit_pre_reset: bool = False,
@@ -357,16 +380,24 @@ def fused_env_step(
       emit_legal: also return the per-direction legal-move mask of the
         POST-reset board — the next step's action mask, so the actor never
         recomputes legality outside the kernel.
+      force_done: optional ``(B,)`` bool — switches the kernel to the
+        SHAPED env's v1 episode-end semantics (``done = (~moved &
+        game_over) | force_done``, the stall cutoff lanes computed
+        outside; Game2048_env.py:97-129) and appends a ``game_over``
+        output right after ``second_exp``. ``None`` = the v2-fixed simple
+        semantics (``done = game_over``).
 
     Returns:
-      ``(new_boards, score, valid, done, max_exp, second_exp[, pre_reset]
-      [, legal_next])`` with shapes ``(16, B)`` int8, ``(B,)`` int32,
-      ``(B,)`` bool, ``(B,)`` bool, ``(B,)`` int8, ``(B,)`` int8
-      [, ``(16, B)`` int8][, ``(4, B)`` int8].
+      ``(new_boards, score, valid, done, max_exp, second_exp[, game_over]
+      [, pre_reset][, legal_next])`` with shapes ``(16, B)`` int8,
+      ``(B,)`` int32, ``(B,)`` bool, ``(B,)`` bool, ``(B,)`` int8,
+      ``(B,)`` int8 [, ``(B,)`` bool][, ``(16, B)`` int8][, ``(4, B)``
+      int8].
     """
     b = boards.shape[1]
     if b % block_size:
         raise ValueError(f"batch {b} not divisible by block {block_size}")
+    shaped = force_done is not None
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     actions2 = actions.reshape(1, b).astype(jnp.int32)
 
@@ -383,6 +414,9 @@ def fused_env_step(
     ]
     out_specs = [board_spec, lane_spec, lane_spec, lane_spec, lane_spec,
                  lane_spec]
+    if shaped:
+        out_shape.append(jax.ShapeDtypeStruct((1, b), jnp.int8))
+        out_specs.append(lane_spec)
     if emit_pre_reset:
         out_shape.append(jax.ShapeDtypeStruct((16, b), jnp.int8))
         out_specs.append(board_spec)
@@ -405,9 +439,13 @@ def fused_env_step(
                          memory_space=pltpu.VMEM)
         )
         inputs.append(rng_bits)
+    if shaped:
+        in_specs.append(lane_spec)
+        inputs.append(force_done.reshape(1, b).astype(jnp.int8))
 
     outs = pl.pallas_call(
-        functools.partial(_step_kernel, emit_pre_reset, emit_legal, use_prng),
+        functools.partial(_step_kernel, emit_pre_reset, emit_legal, use_prng,
+                          shaped),
         grid=(b // block_size,),
         in_specs=in_specs,
         out_shape=tuple(out_shape),
@@ -424,10 +462,15 @@ def fused_env_step(
         max_exp[0],
         second_exp[0],
     )
+    k = 6
+    if shaped:
+        result = result + (outs[k][0] != 0,)
+        k += 1
     if emit_pre_reset:
-        result = result + (outs[6],)
+        result = result + (outs[k],)
+        k += 1
     if emit_legal:
-        result = result + (outs[-1],)
+        result = result + (outs[k],)
     return result
 
 
@@ -470,7 +513,7 @@ def _rollout_kernel(
             rand = (  # noqa: E731
                 lambda k, o=8 * it: bits_ref[o + k : o + k + 1, :]
             )
-        cells, _, score, moved, done, mx, second = _env_step_core(
+        cells, _, score, moved, done, mx, second, _go = _env_step_core(
             cells, action, rand
         )
         # Simple reward (nopenalty:122-138) + optional terminal bonus

@@ -138,10 +138,10 @@ def resolve_engine(config: DQNTrainConfig) -> str:
 def fast_config(config: DQNTrainConfig) -> fastlib.FastEnvConfig:
     """The FastEnvConfig the fast engine runs under for this train config."""
     return fastlib.for_backend(
-        terminal_bonus=config.env.terminal_bonus,
         batch_size=config.num_envs,
         shards=config.replay_shards,
         backend=config.fast_backend,
+        env_config=config.env,
     )
 
 

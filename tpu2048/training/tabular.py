@@ -55,9 +55,9 @@ def resolve_engine(config: TabularTrainConfig) -> str:
 
 def fast_config(config: TabularTrainConfig) -> fastlib.FastEnvConfig:
     return fastlib.for_backend(
-        terminal_bonus=config.env.terminal_bonus,
         batch_size=config.batch_size,
         backend=config.fast_backend,
+        env_config=config.env,
     )
 
 
