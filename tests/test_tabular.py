@@ -183,6 +183,26 @@ def test_epsilon_schedule_matches_reference(total):
     np.testing.assert_allclose(ours, oracle, atol=1e-5)
 
 
+@pytest.mark.parametrize("e0,emin,total", [
+    (0.8, 0.05, 100),   # lower start, higher floor
+    (1.0, 0.001, 250),  # much lower floor
+    (0.5, 0.1, 77),     # narrow range, awkward boundaries
+])
+def test_epsilon_schedule_non_default_endpoints(e0, emin, total):
+    """The closed form must track the iterative reference at ANY
+    exploration_rate/exploration_min, not just the 1.0/0.01 defaults —
+    the phase floors (1.5x/1.1x emin) and slopes all scale with the
+    endpoints (Agent/main.py:23-32)."""
+    cfg = tab.TabularConfig(
+        total_epochs=total, exploration_rate=e0, exploration_min=emin
+    )
+    oracle = _reference_epsilon_schedule(total, e0=e0, emin=emin)
+    ours = np.asarray(
+        tab.epsilon_for_epoch(jnp.arange(total + 1, dtype=jnp.float32), cfg)
+    )
+    np.testing.assert_allclose(ours, oracle, atol=1e-5)
+
+
 def test_tabular_training_chunk_learns():
     """End-to-end: a few jitted chunks on the shaped env should populate the
     Q-table, finish episodes, and produce finite stats."""

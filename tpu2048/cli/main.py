@@ -188,6 +188,10 @@ def _add_dqn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--plot-every", type=int, default=0,
                    help="regenerate the 3-panel training plot every N "
                         "episodes (reference: 10, mainDQL:270; 0 = off)")
+    p.add_argument("--stop-at-tile", type=int, default=0,
+                   help="stop the run once best_tile reaches this value "
+                        "(0 = full episode budget); seed-band runs use "
+                        "2048 to end at first win")
     p.add_argument("--debug-csv", type=str, default=None,
                    help="per-step CSV trace of env 0 (reference debug log)")
     p.add_argument("--log", type=str, default=None)
@@ -258,6 +262,7 @@ def _dqn_config(args):
         prune_on_resume=getattr(args, "prune_on_resume", 0),
         trace_env0=bool(getattr(args, "debug_csv", None)),
         watchdog_timeout=getattr(args, "watchdog", 0.0) or 0.0,
+        stop_at_tile=getattr(args, "stop_at_tile", 0),
         seed=args.seed,
     )
 

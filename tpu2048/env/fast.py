@@ -102,10 +102,28 @@ def resolve_engine(env_config, engine: str,
 
 def fit_block(batch: int, block: int) -> int:
     """Largest divisor of ``batch`` that is <= ``block`` (the kernel
-    requires batch % block == 0)."""
+    requires batch % block == 0).
+
+    Warns on degenerate results: a batch whose largest divisor <= block
+    is tiny (e.g. a prime env count) silently under-fills the 1024-wide
+    vector lanes — the mirror image of the large-block vreg-spill cliff
+    (ops/pallas_step.py) — so below 128 lanes the kernel runs far off its
+    throughput envelope.
+    """
     block = max(min(block, batch), 1)
     while batch % block:
         block -= 1
+    if block < min(128, batch):
+        import warnings
+
+        warnings.warn(
+            f"fit_block({batch}, ...) resolved to a degenerate kernel "
+            f"block of {block} lanes (<128): the batch has no larger "
+            f"divisor under the block cap, so the fused kernel will "
+            f"under-fill its vector lanes. Prefer an env count that is a "
+            f"multiple of 128 (ideally of 1024).",
+            stacklevel=2,
+        )
     return block
 
 

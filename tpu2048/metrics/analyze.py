@@ -96,6 +96,21 @@ def analyze(path: str) -> dict:
         out["action_fractions"] = {
             k: round(c / tot, 4) for k, c in zip("LURD", ac)
         }
+    if "train_steps" in last:
+        # Self-documenting comparison anchors: the reference's single
+        # published DQN result, on every axis this table reports.
+        # Episode axis: first 2048 at episode 1858 (the shipped artifact
+        # dqn_model_2048_2048_1858.h5, GameDemo.py:208; 2048.pdf §5.1).
+        # Cadence-comparable axes at that win (100 updates per episode,
+        # ~165 steps/episode): ~307k env transitions, ~186k gradient
+        # updates.
+        out["reference_anchor"] = {
+            "first_2048_by_episode": 1858,
+            "first_2048_by_env_steps": 307_000,
+            "first_2048_by_train_steps": 186_000,
+            "source": "dqn_model_2048_2048_1858.h5 (GameDemo.py:208); "
+                      "2048.pdf §5.1",
+        }
     return out
 
 

@@ -136,9 +136,23 @@ def replay_sample(
     Returns ``(batch dict, indices, is_weights)``; ``is_weights`` are
     normalized by the batch max exactly like the reference.
     """
-    p = _probabilities(buffer, alpha)
-    logits = jnp.log(jnp.maximum(p, 1e-30))
-    indices = jax.random.categorical(key, logits, shape=(batch_size,))
+    if alpha == 0.0:
+        # Uniform ("NOPER", the run of record, Dqn8:249): a direct
+        # randint draw over the valid range — identical distribution to
+        # the categorical over flat logits below, without materializing
+        # (B, C) gumbel noise per update. IS weights are exactly 1
+        # ((n * 1/n)^-beta, then batch-max normalized).
+        indices = jax.random.randint(
+            key, (batch_size,), 0, jnp.maximum(buffer.size, 1)
+        )
+        w = jnp.ones((batch_size,), jnp.float32)
+    else:
+        p = _probabilities(buffer, alpha)
+        logits = jnp.log(jnp.maximum(p, 1e-30))
+        indices = jax.random.categorical(key, logits, shape=(batch_size,))
+        n = jnp.maximum(buffer.size.astype(jnp.float32), 1.0)
+        w = (n * p[indices]) ** (-beta)
+        w = w / jnp.maximum(jnp.max(w), 1e-30)
     batch = {
         "board": buffer.boards[indices],
         "action": buffer.actions[indices].astype(jnp.int32),
@@ -146,9 +160,6 @@ def replay_sample(
         "done": buffer.dones[indices],
         "next_board": buffer.next_boards[indices],
     }
-    n = jnp.maximum(buffer.size.astype(jnp.float32), 1.0)
-    w = (n * p[indices]) ** (-beta)
-    w = w / jnp.maximum(jnp.max(w), 1e-30)
     return batch, indices, w
 
 

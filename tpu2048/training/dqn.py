@@ -103,6 +103,11 @@ class DQNTrainConfig:
     # (scripts/train_supervised.sh). Must exceed worst-case compile
     # (~90 s) + full-state checkpoint I/O (~140 s over a tunneled TPU).
     watchdog_timeout: float = 0.0
+    # Stop as soon as best_tile reaches this value (0 = run the full
+    # episode budget). Lets seed-band runs end at "first win" (the
+    # reference's single published anchor is its first 2048, GameDemo.py:
+    # 208) without budgeting a full-length run per seed.
+    stop_at_tile: int = 0
     seed: int = 0
 
 
@@ -203,9 +208,15 @@ def train_chunk(config: DQNTrainConfig, model, tx, state: DQNLoopState,
             buffer, k_sample, config.train_batch, acfg.alpha, acfg.beta
         )
         agent, metrics = dqnlib.train_step(acfg, model, tx, agent, batch)
-        buffer = replaylib.sharded_update_priorities(
-            buffer, indices, metrics["td_errors"], acfg.priority_epsilon
-        )
+        if acfg.alpha != 0.0:
+            # |TD| -> priorities (Dqn8:389-390). At alpha=0 (uniform
+            # sampling, the run of record) the priorities are never read
+            # — skip the per-update scatter entirely. (Resuming an
+            # alpha=0 checkpoint with alpha>0 then starts from flat
+            # priorities, which is what its buffer would hold anyway.)
+            buffer = replaylib.sharded_update_priorities(
+                buffer, indices, metrics["td_errors"], acfg.priority_epsilon
+            )
         return (agent, buffer, rng, loss_sum + metrics["loss"])
 
     def body(st: DQNLoopState, _):
@@ -678,6 +689,12 @@ def _train_loop(
         logs.append(row)
         if log_fn:
             log_fn(row)
+        if config.stop_at_tile and best >= config.stop_at_tile:
+            # First-win (or first-milestone) early stop; the milestone
+            # checkpoint above already captured the winning state, and
+            # the final save below makes the run resumable if the band
+            # later needs extending.
+            break
     if ckpt_manager is not None and int(state.episodes_done) != last_ckpt:
         # Final save so short runs are resumable/evaluable.
         ckpt_manager.save(int(state.episodes_done), state, wait=True)
