@@ -322,3 +322,63 @@ def test_fast_env_lax_backend_equals_pallas_trajectory():
                                    np.asarray(ts_l.reward))
         np.testing.assert_array_equal(np.asarray(ts_k.done),
                                       np.asarray(ts_l.done))
+
+
+def test_rollout_eval_latch_kernel_equals_oracle():
+    """fast_rollout_eval: the in-kernel first-completion latch + live
+    action counts match the step-by-step lax oracle bit-for-bit on the
+    external-RNG path, across multiple windows and episode resets."""
+    from tpu2048.env.fast import eval_latch_init, fast_rollout_eval
+
+    cfg_k = FastEnvConfig(terminal_bonus=True, block_size=BLK,
+                          interpret=True, external_rng=True)
+    cfg_o = FastEnvConfig(terminal_bonus=True, block_size=BLK,
+                          interpret=True, external_rng=True, backend="lax")
+    sk = fast_reset(cfg_k, jax.random.PRNGKey(5), B)
+    so = sk
+    lk = eval_latch_init(B)
+    lo = eval_latch_init(B)
+    total_latched = 0
+    for _ in range(12):  # 12 windows x 8 steps = 96 steps: resets happen
+        sk, lk = fast_rollout_eval(cfg_k, sk, lk, 8)
+        so, lo = fast_rollout_eval(cfg_o, so, lo, 8)
+        np.testing.assert_array_equal(np.asarray(sk.boards),
+                                      np.asarray(so.boards))
+        for f in ("latched", "score", "steps", "max_exp", "action_counts"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(lk, f)), np.asarray(getattr(lo, f)), f
+            )
+        total_latched = int(np.asarray(lk.latched).sum())
+    assert total_latched > 0  # some games finished and latched
+    # Latched lanes hold plausible stats; live counts only pre-latch.
+    done = np.asarray(lk.latched) != 0
+    assert (np.asarray(lk.score)[done] > 0).all()
+    assert (np.asarray(lk.max_exp)[done] >= 3).all()
+    # Action totals == sum of live steps across lanes.
+    per_lane_actions = np.asarray(lk.action_counts).sum(axis=0)
+    expect = np.where(done, np.asarray(lk.steps),
+                      96 + 0 * per_lane_actions)
+    # Unlatched lanes played all 96 steps; latched lanes may have played
+    # more than their first episode's steps is false — they stop counting
+    # at the latch, so counts == first-episode length.
+    np.testing.assert_array_equal(per_lane_actions, expect)
+
+
+def test_random_eval_uses_rollout_kernel_path():
+    """evaluate() with the random policy routes through the latch-rollout
+    kernel and returns sane distributions (random-play max tiles center
+    on 64/128)."""
+    import importlib
+
+    ev = importlib.import_module("tpu2048.eval.evaluate")
+    from tpu2048.env import EnvConfig
+
+    res = ev.evaluate(
+        ev.random_legal_policy(), 64, jax.random.PRNGKey(0),
+        env_config=EnvConfig(reward="simple", auto_reset=False),
+        batch_size=64,
+    )
+    assert len(res.scores) == 64
+    assert res.action_counts.sum() == res.lengths.sum()
+    assert 32 <= res.max_tiles.max() <= 512
+    assert (res.scores > 0).all()

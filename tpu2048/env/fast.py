@@ -246,6 +246,19 @@ def _tile_value(bits):
     return ps._tile_value(bits).astype(jnp.int8)
 
 
+def _rand_legal_action(legal, rng_row):
+    """The kernel's uniform-over-legal pick, on a (B, 4) bool mask and
+    one (B,) uint32 bit row — shared by the lax oracle step and the
+    rollout-eval oracle so the two can never diverge."""
+    legal_i = legal.astype(jnp.int32)
+    n_legal = jnp.sum(legal_i, axis=-1)
+    pick = _uniform_mod(rng_row, n_legal)
+    before = jnp.cumsum(legal_i, axis=-1) - legal_i  # exclusive csum
+    return jnp.argmax(
+        legal & (before == pick[:, None]), axis=-1
+    ).astype(jnp.int32)
+
+
 def lax_fast_step(boards_cm, actions, rng_bits, force_done=None,
                   shaped_done: bool = False):
     """Pure-lax mirror of :func:`ps.fused_env_step` (emit everything).
@@ -267,15 +280,9 @@ def lax_fast_step(boards_cm, actions, rng_bits, force_done=None,
     b = boards.shape[0]
     cand_b, cand_s, cand_m = board_ops.move_all(boards)
     legal = jnp.moveaxis(cand_m, 0, -1)  # (B, 4)
-    legal_i = legal.astype(jnp.int32)
-    n_legal = jnp.sum(legal_i, axis=-1)
 
     # In-kernel random-legal policy for lanes with action < 0.
-    pick = _uniform_mod(rng_bits[0], n_legal)
-    before = jnp.cumsum(legal_i, axis=-1) - legal_i  # exclusive csum
-    rand_act = jnp.argmax(
-        legal & (before == pick[:, None]), axis=-1
-    ).astype(jnp.int32)
+    rand_act = _rand_legal_action(legal, rng_bits[0])
     actions = jnp.asarray(actions, jnp.int32)
     action = jnp.where(actions < 0, rand_act, actions)
 
@@ -744,3 +751,133 @@ def _shaped_fast_step(
         last_consec_penalty=last_penalty,
     )
     return new_state, ts
+
+
+@struct.dataclass
+class EvalLatch:
+    """Per-lane first-completion latches for random-policy rollout eval.
+
+    The generic eval harness latches each board's first completion on the
+    host side, one kernel launch per step; for the RANDOM policy the
+    whole latch lives in VMEM inside the multi-step rollout kernel
+    (:func:`tpu2048.ops.pallas_step.fused_env_rollout`, latch mode), so a
+    1000-game random eval is a handful of launches instead of thousands.
+    """
+
+    latched: jax.Array  # (B,) int8 — 1 once the lane's first game ended
+    score: jax.Array  # (B,) int32 — episode merge score at first done
+    steps: jax.Array  # (B,) int32 — episode length at first done
+    max_exp: jax.Array  # (B,) int8 — max tile exponent at first done
+    action_counts: jax.Array  # (4, B) int32 — live-step action counts
+
+
+def eval_latch_init(batch_size: int) -> EvalLatch:
+    return EvalLatch(
+        latched=jnp.zeros((batch_size,), jnp.int8),
+        score=jnp.zeros((batch_size,), jnp.int32),
+        steps=jnp.zeros((batch_size,), jnp.int32),
+        max_exp=jnp.zeros((batch_size,), jnp.int8),
+        action_counts=jnp.zeros((4, batch_size), jnp.int32),
+    )
+
+
+def fast_rollout_eval(
+    config: FastEnvConfig,
+    state: FastEnvState,
+    latch: EvalLatch,
+    k_steps: int,
+) -> Tuple[FastEnvState, EvalLatch]:
+    """``k_steps`` random-legal-policy steps with in-kernel first-
+    completion latching — the random-eval fast path (GameDemo.py:272-285
+    random mode, at batch scale).
+
+    Same window semantics as :func:`fast_rollout`; additionally each
+    lane's FIRST episode end records (score, length, max tile) into
+    ``latch`` and live (pre-latch) actions are counted per direction.
+    The ``backend="lax"`` oracle reproduces the kernel bit-for-bit on
+    the external-RNG path (tests/test_pallas_step.py).
+    """
+    b = state.batch_size
+    if config.shaped:
+        raise ValueError(
+            "fast_rollout_eval is the simple-reward random-policy path; "
+            "shaped random eval steps the lax engine (see "
+            "_shaped_fast_step's action-stream requirement)."
+        )
+    if config.backend == "lax":
+        # Oracle: step-by-step, latches maintained in lax ops. The
+        # resolved random action is recomputed from the same bit row the
+        # step consumes (shared helper _rand_legal_action).
+        for _ in range(k_steps):
+            bits0 = jax.random.bits(
+                jax.random.fold_in(jax.random.PRNGKey(2048), state.seed),
+                (8, b), jnp.uint32,
+            )[0]
+            boards = ps.from_cell_major(state.boards)
+            legal = board_ops.legal_moves_mask(boards)
+            act = _rand_legal_action(legal, bits0)
+            pre_score = state.score
+            pre_steps = state.episode_steps
+            state, ts = fast_step(config, state)
+            live = latch.latched == 0
+            newly = live & ts.done
+            one = jnp.int32(1)
+            acnt = latch.action_counts + (
+                (jnp.arange(4, dtype=jnp.int32)[:, None] == act[None, :])
+                & live[None, :]
+            ).astype(jnp.int32)
+            latch = EvalLatch(
+                latched=jnp.where(newly, jnp.int8(1), latch.latched),
+                score=jnp.where(newly, pre_score + ts.merge_score,
+                                latch.score),
+                steps=jnp.where(newly, pre_steps + one, latch.steps),
+                max_exp=jnp.where(
+                    newly,
+                    jnp.max(ts.obs, axis=0).astype(jnp.int8),
+                    latch.max_exp,
+                ),
+                action_counts=acnt,
+            )
+        return state, latch
+    rng_bits = None
+    if config.external_rng:
+        rng_bits = jnp.concatenate(
+            [
+                jax.random.bits(
+                    jax.random.fold_in(
+                        jax.random.PRNGKey(2048), state.seed + i
+                    ),
+                    (8, b),
+                    jnp.uint32,
+                )
+                for i in range(k_steps)
+            ],
+            axis=0,
+        )
+    boards, score, steps, ep_ret, _rsum, _dcnt, lat = ps.fused_env_rollout(
+        state.boards,
+        state.score,
+        state.episode_steps,
+        state.episode_return,
+        jnp.asarray(state.seed, jnp.int32),
+        k_steps,
+        rng_bits,
+        (latch.latched, latch.score, latch.steps, latch.max_exp,
+         latch.action_counts),
+        terminal_bonus=config.terminal_bonus,
+        block_size=fit_block(b, config.block_size),
+        interpret=config.interpret,
+    )
+    new_state = FastEnvState(
+        boards=boards,
+        legal=state.legal,
+        score=score,
+        episode_steps=steps,
+        episode_return=ep_ret,
+        seed=state.seed + k_steps,
+    )
+    new_latch = EvalLatch(
+        latched=lat[0], score=lat[1], steps=lat[2], max_exp=lat[3],
+        action_counts=lat[4],
+    )
+    return new_state, new_latch

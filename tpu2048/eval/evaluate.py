@@ -40,6 +40,11 @@ class Policy:
 
     fn: Callable  # (params, boards, legal_mask, key) -> actions
     params: object = ()
+    # True for the uniform-over-legal policy: the fused rollout kernel
+    # implements the identical distribution in-kernel, so fast eval can
+    # run k steps per launch with VMEM-resident latches instead of one
+    # launch per step (fast_rollout_eval).
+    in_kernel_random: bool = False
 
     def __call__(self, boards, legal_mask, key):
         return self.fn(self.params, boards, legal_mask, key)
@@ -59,7 +64,7 @@ def random_legal_policy() -> Policy:
         logits = jnp.where(legal_mask, 0.0, -1e9)
         return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
-    return Policy(fn=policy)
+    return Policy(fn=policy, in_kernel_random=True)
 
 
 def greedy_dqn_policy(model, params) -> Policy:
@@ -249,6 +254,10 @@ def _evaluate_fast(
     restarts are masked out of the action counts.
     """
     policy = as_policy(policy)
+    if policy.in_kernel_random and env_config.reward == "simple":
+        return _evaluate_fast_random(
+            num_games, key, env_config, batch_size, max_steps, fast_backend
+        )
     steps_per_call = 32
     scores: List[np.ndarray] = []
     tiles: List[np.ndarray] = []
@@ -318,6 +327,67 @@ def _evaluate_fast(
         tiles.append(np.asarray(final_tile))
         lengths.append(np.asarray(final_len))
         action_counts += np.asarray(act_counts, np.int64)
+        remaining -= b
+
+    return EvalResult(
+        scores=np.concatenate(scores),
+        max_tiles=np.concatenate(tiles),
+        lengths=np.concatenate(lengths),
+        action_counts=action_counts,
+    )
+
+
+def _evaluate_fast_random(
+    num_games, key, env_config, batch_size, max_steps, fast_backend
+) -> EvalResult:
+    """Random-policy eval on the multi-step rollout kernel.
+
+    The uniform-over-legal policy is implemented IN the fused kernel
+    (same distribution as random_legal_policy, kernel PRNG stream), so
+    eval runs k=16 env steps per launch with the first-completion
+    latches resident in VMEM (fastlib.fast_rollout_eval) — the
+    1000-game random baseline becomes a handful of launches
+    (GameDemo.py:272-285 random mode, at batch scale).
+    """
+    k_steps = 16
+    scores: List[np.ndarray] = []
+    tiles: List[np.ndarray] = []
+    lengths: List[np.ndarray] = []
+    action_counts = np.zeros(4, np.int64)
+
+    remaining = num_games
+    while remaining > 0:
+        b = min(batch_size, remaining)
+        fcfg = fastlib.for_backend(
+            batch_size=b, backend=fast_backend, env_config=env_config
+        )
+        key, k_reset = jax.random.split(key)
+        state = fastlib.fast_reset(fcfg, k_reset, b)
+        latch = fastlib.eval_latch_init(b)
+        for _ in range(max_steps // k_steps + 1):
+            state, latch = fastlib.fast_rollout_eval(
+                fcfg, state, latch, k_steps
+            )
+            if bool(np.asarray(latch.latched).all()):
+                break
+        # Lanes that never finished record their current standing
+        # (same rule as the generic fast harness).
+        done = np.asarray(latch.latched) != 0
+        live_boards = ps.from_cell_major(state.boards)
+        fscore = np.where(done, np.asarray(latch.score),
+                          np.asarray(state.score))
+        exp = np.asarray(latch.max_exp).astype(np.int32)
+        ftile = np.where(
+            done,
+            np.where(exp > 0, np.left_shift(1, exp), 0),
+            np.asarray(board_ops.max_tile_value(live_boards)),
+        )
+        flen = np.where(done, np.asarray(latch.steps),
+                        np.asarray(state.episode_steps))
+        scores.append(fscore)
+        tiles.append(ftile)
+        lengths.append(flen)
+        action_counts += np.asarray(latch.action_counts, np.int64).sum(axis=1)
         remaining -= b
 
     return EvalResult(

@@ -187,10 +187,12 @@ def _env_step_core(cells, action, rand, force_done=None,
 
     Returns:
       ``(final_cells, new_cells, score, moved, done, mx, second,
-      game_over)`` where ``final_cells`` is post-auto-reset, ``new_cells``
-      pre-reset, ``moved``/``done``/``game_over`` are bool lanes, the rest
-      int32. ``game_over`` (no legal move on the post-step board) equals
-      ``done`` unless ``shaped_done``.
+      game_over, action)`` where ``final_cells`` is post-auto-reset,
+      ``new_cells`` pre-reset, ``moved``/``done``/``game_over`` are bool
+      lanes, the rest int32. ``game_over`` (no legal move on the
+      post-step board) equals ``done`` unless ``shaped_done``; ``action``
+      is the RESOLVED action (the in-kernel random-legal pick for lanes
+      that came in < 0).
     """
     ys, score_d, moved_d = _merge_all(cells)
     legal = [m != 0 for m in moved_d]
@@ -282,7 +284,8 @@ def _env_step_core(cells, action, rand, force_done=None,
     for i in range(16):
         fresh = jnp.where(p1 == i, v1, jnp.where(p2 == i, v2, jnp.int32(0)))
         final_cells.append(jnp.where(done, fresh, new_cells[i]))
-    return final_cells, new_cells, score, moved, done, mx, second, game_over
+    return (final_cells, new_cells, score, moved, done, mx, second,
+            game_over, action)
 
 
 def _step_kernel(
@@ -320,7 +323,7 @@ def _step_kernel(
         force_done = force_done_ref[0:1, :] != 0
 
     (final_cells, new_cells, score, moved, done, mx, second,
-     game_over) = _env_step_core(
+     game_over, _act) = _env_step_core(
         cells, action, rand, force_done=force_done, shaped_done=shaped
     )
     for i in range(16):
@@ -478,6 +481,7 @@ def _rollout_kernel(
     k_steps: int,
     use_prng: bool,
     terminal_bonus: bool,
+    latch: bool,
     seed_ref,
     boards_ref,
     score_ref,
@@ -485,14 +489,17 @@ def _rollout_kernel(
     ret_ref,
     *refs,
 ):
-    if use_prng:
-        bits_ref = None
-        (out_ref, oscore_ref, osteps_ref, oret_ref, rsum_ref,
-         dcnt_ref) = refs
-    else:
-        bits_ref = refs[0]
-        (out_ref, oscore_ref, osteps_ref, oret_ref, rsum_ref,
-         dcnt_ref) = refs[1:]
+    refs = list(refs)
+    bits_ref = None if use_prng else refs.pop(0)
+    if latch:
+        (latched_ref, fscore_ref, fsteps_ref, fmax_ref,
+         acnt_ref) = refs[:5]
+        refs = refs[5:]
+    (out_ref, oscore_ref, osteps_ref, oret_ref, rsum_ref,
+     dcnt_ref, *orest) = refs
+    if latch:
+        (olatched_ref, ofscore_ref, ofsteps_ref, ofmax_ref,
+         oacnt_ref) = orest
     blk = boards_ref.shape[1]
     if use_prng:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
@@ -504,6 +511,14 @@ def _rollout_kernel(
     action = jnp.full((1, blk), -1, jnp.int32)  # random-legal every step
     rsum = jnp.zeros((1, blk), jnp.int32)
     dcnt = jnp.zeros((1, blk), jnp.int32)
+    if latch:
+        # First-completion latches (the eval harness' per-lane stats) and
+        # live-step action counts, carried in VMEM across the window.
+        latched = latched_ref[0:1, :].astype(jnp.int32)
+        fscore = fscore_ref[0:1, :]
+        fsteps = fsteps_ref[0:1, :]
+        fmax = fmax_ref[0:1, :].astype(jnp.int32)
+        acnt = [acnt_ref[a : a + 1, :] for a in range(4)]
 
     for it in range(k_steps):
         if use_prng:
@@ -513,7 +528,7 @@ def _rollout_kernel(
             rand = (  # noqa: E731
                 lambda k, o=8 * it: bits_ref[o + k : o + k + 1, :]
             )
-        cells, _, score, moved, done, mx, second, _go = _env_step_core(
+        cells, _, score, moved, done, mx, second, _go, act = _env_step_core(
             cells, action, rand
         )
         # Simple reward (nopenalty:122-138) + optional terminal bonus
@@ -529,6 +544,19 @@ def _rollout_kernel(
             reward = reward + jnp.where(done, bonus, jnp.int32(0))
         rsum = rsum + reward
         dcnt = dcnt + done.astype(jnp.int32)
+        if latch:
+            live = latched == 0
+            newly = live & done
+            one = jnp.int32(1)
+            zero = jnp.int32(0)
+            fscore = jnp.where(newly, ep_score + score, fscore)
+            fsteps = jnp.where(newly, ep_steps + one, fsteps)
+            fmax = jnp.where(newly, mx, fmax)
+            for a in range(4):
+                acnt[a] = acnt[a] + jnp.where(
+                    live & (act == a), one, zero
+                )
+            latched = jnp.where(newly, one, latched)
         new_score = ep_score + score
         new_steps = ep_steps + jnp.int32(1)
         new_ret = ep_ret + reward.astype(jnp.float32)
@@ -544,6 +572,13 @@ def _rollout_kernel(
     oret_ref[0:1, :] = ep_ret
     rsum_ref[0:1, :] = rsum
     dcnt_ref[0:1, :] = dcnt
+    if latch:
+        olatched_ref[0:1, :] = latched.astype(jnp.int8)
+        ofscore_ref[0:1, :] = fscore
+        ofsteps_ref[0:1, :] = fsteps
+        ofmax_ref[0:1, :] = fmax.astype(jnp.int8)
+        for a in range(4):
+            oacnt_ref[a : a + 1, :] = acnt[a]
 
 
 @functools.partial(
@@ -558,6 +593,7 @@ def fused_env_rollout(
     seed,
     k_steps: int,
     rng_bits=None,
+    latch_state=None,
     *,
     terminal_bonus: bool = True,
     block_size: int = DEFAULT_BLOCK,
@@ -583,24 +619,33 @@ def fused_env_rollout(
       rng_bits: optional ``(8 * k_steps, B)`` uint32 — externally-supplied
         bit rows, 8 per inner step in :func:`fused_env_step` row order
         (interpret-mode tests / deterministic replay). None = on-core PRNG.
+      latch_state: optional ``(latched, fscore, fsteps, fmax, acnt)`` —
+        per-lane first-completion latches (``(B,)`` int8/int32/int32/int8
+        and ``(4, B)`` int32 live-action counts). When given, the kernel
+        updates them in VMEM across the window (the eval harness'
+        latch-first-completion logic, in-kernel) and returns the new
+        tuple appended to the outputs.
       terminal_bonus: include the driver's terminal bonus
         (mainDQL:202-213) in the reward, as
         :func:`tpu2048.env.fast.fast_step` does.
 
     Returns:
       ``(new_boards, new_score, new_steps, new_episode_return,
-      reward_sum, done_count)`` — the first four are the carried state
-      after ``k_steps`` steps (episode fields reset on each done, exactly
-      as ``fast_step`` maintains them); ``reward_sum`` ``(B,)`` int32 and
-      ``done_count`` ``(B,)`` int32 are per-lane totals over the window.
+      reward_sum, done_count[, latch_state'])`` — the first four are the
+      carried state after ``k_steps`` steps (episode fields reset on each
+      done, exactly as ``fast_step`` maintains them); ``reward_sum``
+      ``(B,)`` int32 and ``done_count`` ``(B,)`` int32 are per-lane
+      totals over the window.
     """
     b = boards.shape[1]
     if b % block_size:
         raise ValueError(f"batch {b} not divisible by block {block_size}")
+    latch = latch_state is not None
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     row = lambda i: (0, i)  # noqa: E731
     board_spec = pl.BlockSpec((16, block_size), row, memory_space=pltpu.VMEM)
     lane_spec = pl.BlockSpec((1, block_size), row, memory_space=pltpu.VMEM)
+    quad_spec = pl.BlockSpec((4, block_size), row, memory_space=pltpu.VMEM)
 
     use_prng = rng_bits is None
     in_specs = [
@@ -623,29 +668,52 @@ def fused_env_rollout(
                          memory_space=pltpu.VMEM)
         )
         inputs.append(rng_bits)
+    if latch:
+        latched, fscore, fsteps, fmax, acnt = latch_state
+        in_specs += [lane_spec, lane_spec, lane_spec, lane_spec, quad_spec]
+        inputs += [
+            latched.reshape(1, b).astype(jnp.int8),
+            fscore.reshape(1, b),
+            fsteps.reshape(1, b),
+            fmax.reshape(1, b).astype(jnp.int8),
+            acnt,
+        ]
 
-    out_shape = (
+    out_shape = [
         jax.ShapeDtypeStruct((16, b), jnp.int8),
         jax.ShapeDtypeStruct((1, b), jnp.int32),
         jax.ShapeDtypeStruct((1, b), jnp.int32),
         jax.ShapeDtypeStruct((1, b), jnp.float32),
         jax.ShapeDtypeStruct((1, b), jnp.int32),
         jax.ShapeDtypeStruct((1, b), jnp.int32),
-    )
-    out_specs = (board_spec, lane_spec, lane_spec, lane_spec, lane_spec,
-                 lane_spec)
+    ]
+    out_specs = [board_spec, lane_spec, lane_spec, lane_spec, lane_spec,
+                 lane_spec]
+    if latch:
+        out_shape += [
+            jax.ShapeDtypeStruct((1, b), jnp.int8),
+            jax.ShapeDtypeStruct((1, b), jnp.int32),
+            jax.ShapeDtypeStruct((1, b), jnp.int32),
+            jax.ShapeDtypeStruct((1, b), jnp.int8),
+            jax.ShapeDtypeStruct((4, b), jnp.int32),
+        ]
+        out_specs += [lane_spec, lane_spec, lane_spec, lane_spec, quad_spec]
     outs = pl.pallas_call(
         functools.partial(
-            _rollout_kernel, k_steps, use_prng, terminal_bonus
+            _rollout_kernel, k_steps, use_prng, terminal_bonus, latch
         ),
         grid=(b // block_size,),
         in_specs=in_specs,
-        out_shape=out_shape,
-        out_specs=out_specs,
+        out_shape=tuple(out_shape),
+        out_specs=tuple(out_specs),
         interpret=interpret,
     )(*inputs)
-    new_boards, oscore, osteps, oret, rsum, dcnt = outs
-    return new_boards, oscore[0], osteps[0], oret[0], rsum[0], dcnt[0]
+    new_boards, oscore, osteps, oret, rsum, dcnt = outs[:6]
+    head = (new_boards, oscore[0], osteps[0], oret[0], rsum[0], dcnt[0])
+    if latch:
+        ol, ofs, ofst, ofm, oac = outs[6:]
+        return head + ((ol[0], ofs[0], ofst[0], ofm[0], oac),)
+    return head
 
 
 def to_cell_major(boards):
