@@ -14,15 +14,21 @@
 # checkpointed resume preserves the seed's full 3500 episodes instead of
 # truncating the band entry.
 # Sequential — ONE TPU process at a time on this machine.
+# r4 protocol (EPISODES/EXTRA env overrides): full rollback protocol —
+# the paper's actual configuration (2048.pdf §6) — run to 7k episodes or
+# first win, whichever comes first (--stop-at-tile 2048). Earlier rounds'
+# entries used EPISODES=3500 and (s3/s4) no rollback.
 set -u
 cd /root/repo
+EPISODES=${EPISODES:-7000}
 for s in "$@"; do
   d=runs/seeds/s$s
   mkdir -p "$d"
   SUPERVISE_HANG_COOLDOWN=${SUPERVISE_HANG_COOLDOWN:-450} \
   scripts/train_supervised.sh \
-    --episodes 3500 --envs 128 --batch 64 --memory-size 50000 \
+    --episodes "$EPISODES" --envs 128 --batch 64 --memory-size 50000 \
     --updates-per-episode 100 --steps-per-chunk 16 --seed "$s" \
+    --rollback --stop-at-tile 2048 \
     --watchdog 1200 --checkpoint-dir "$d/ckpt" --checkpoint-every 1000 \
     --log "$d/metrics.jsonl" > "$d/stdout.log" 2>&1
   rc=$?

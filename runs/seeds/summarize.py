@@ -29,8 +29,13 @@ def fmt(v):
 
 def main():
     logs = []
+    if os.path.exists("runs/dqn_rollback/metrics.jsonl"):
+        logs.append(
+            ("0 (+rollback, run of record)",
+             "runs/dqn_rollback/metrics.jsonl")
+        )
     if os.path.exists("runs/dqn_r3/metrics.jsonl"):
-        logs.append(("0 (run of record)", "runs/dqn_r3/metrics.jsonl"))
+        logs.append(("0 (r3, rollback off)", "runs/dqn_r3/metrics.jsonl"))
     for d in sorted(glob.glob("runs/seeds/s*/")):
         path = os.path.join(d, "metrics.jsonl")
         if os.path.exists(path):

@@ -235,3 +235,21 @@ def test_shaped_sharded_kernel_equals_unsharded():
                                       np.asarray(s_sh.consec_count))
         np.testing.assert_array_equal(np.asarray(s_ref.legal),
                                       np.asarray(s_sh.legal))
+
+
+def test_shaped_eval_harness_runs_on_fast_engine():
+    """eval with a SHAPED env now routes through the fast engine
+    (resolve_engine) and produces sane distributions — the harness that
+    previously pinned shaped evals at the op-by-op env's throughput."""
+    import importlib
+
+    ev = importlib.import_module("tpu2048.eval.evaluate")
+
+    res = ev.evaluate(
+        ev.random_legal_policy(), 32, jax.random.PRNGKey(2),
+        env_config=EnvConfig(reward=SHAPED, auto_reset=False),
+        batch_size=32, max_steps=600,
+    )
+    assert len(res.scores) == 32
+    assert (res.scores > 0).all()
+    assert 32 <= res.max_tiles.max() <= 512  # random-play territory
