@@ -253,3 +253,31 @@ def test_shaped_eval_harness_runs_on_fast_engine():
     assert len(res.scores) == 32
     assert (res.scores > 0).all()
     assert 32 <= res.max_tiles.max() <= 512  # random-play territory
+
+
+def test_shaped_dqn_loop_sharding_covers_all_lanes():
+    """dqn_loop_sharding must produce a NamedSharding for EVERY leaf of a
+    shaped-env loop state (the shaped lanes are new; a missed field would
+    surface as a raw array in the sharding pytree and break pjit)."""
+    import jax.sharding as js
+
+    from tpu2048.agents.dqn import DQNConfig
+    from tpu2048.env import SIMPLE
+    from tpu2048.parallel import MeshConfig, create_mesh, dqn_loop_sharding
+    from tpu2048.training import dqn as dqntrain
+
+    if jax.device_count() < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device CPU mesh")
+    tiny = DQNConfig(features=16, hidden=32, num_blocks=1, bf16=False,
+                     dropout=0.0, memory_size=512)
+    cfg = dqntrain.DQNTrainConfig(
+        agent=tiny, env=EnvConfig(reward=SHAPED), num_envs=32,
+    )
+    _, state = dqntrain.init_loop_state(cfg)
+    assert isinstance(state.env_state, ShapedFastEnvState)
+    mesh = create_mesh(MeshConfig(data_parallel=8))
+    sh = dqn_loop_sharding(state, mesh)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(sh):
+        assert isinstance(leaf, js.NamedSharding), path

@@ -136,14 +136,16 @@ def dqn_loop_sharding(state, mesh: Mesh, model_parallel: int = 1):
         return jax.tree.map(lambda x: ns(_batch_spec(x)), tree)
 
     def shard_env(env_state):
-        from tpu2048.env.fast import FastEnvState  # noqa: PLC0415
+        from tpu2048.env.fast import (  # noqa: PLC0415
+            FastEnvState, ShapedFastEnvState,
+        )
 
         if not isinstance(env_state, FastEnvState):
             return shard_batched(env_state)
         # Fast env: boards are cell-major (16, B) — batch is axis 1; the
         # legal mask is (B, 4); lane stats are (B,); the PRNG seed counter
         # is a replicated scalar.
-        return env_state.replace(
+        sh = env_state.replace(
             boards=ns(P(None, DATA_AXIS)),
             legal=ns(P(DATA_AXIS)),
             score=ns(P(DATA_AXIS)),
@@ -151,6 +153,15 @@ def dqn_loop_sharding(state, mesh: Mesh, model_parallel: int = 1):
             episode_return=ns(P(DATA_AXIS)),
             seed=ns(P()),
         )
+        if isinstance(env_state, ShapedFastEnvState):
+            # Shaped mode adds four per-env shaping lanes — batch axis 0.
+            sh = sh.replace(
+                prev_max=ns(P(DATA_AXIS)),
+                consec_action=ns(P(DATA_AXIS)),
+                consec_count=ns(P(DATA_AXIS)),
+                last_consec_penalty=ns(P(DATA_AXIS)),
+            )
+        return sh
 
     param_specs = param_partition_spec(state.agent.params, model_parallel)
     params_sh = jax.tree.map(lambda s: ns(s), param_specs,
