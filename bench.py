@@ -241,8 +241,9 @@ def train_loop_main(envs: int = 128, chunks: int = 8) -> None:
 
 
 def tabular_main(batch: int = 4096, chunks: int = 4) -> None:
-    """Tabular training env-steps/s: shaped lax env + hashed Q-table
-    gather/scatter (agents/tabular.py) — the QLearningBase regime."""
+    """Tabular training env-steps/s: shaped FAST engine (fused Pallas
+    kernel, shaped mode) + 16-way bucketed hashed Q-table
+    (agents/tabular.py) — the QLearningBase regime end-to-end."""
     from tpu2048.agents.tabular import TabularConfig
     from tpu2048.training.tabular import (
         TabularTrainConfig,
