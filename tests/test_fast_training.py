@@ -243,3 +243,46 @@ def test_per_alpha_skews_training_sampling():
             sampled_u.append(pri[s, idx[s]])
     mean_uniform = np.concatenate(sampled_u).mean()
     assert abs(mean_uniform - mean_buffer) < abs(mean_sampled - mean_buffer)
+
+
+def test_shaped_tabular_train_chunk_backends_bitwise():
+    """The SHAPED tabular chunk (the QLearningBase 200k-run regime) on
+    the fused kernel vs the lax oracle: bit-identical tables, boards,
+    and shaping lanes through full jitted chunks."""
+    outs = {}
+    base = tabtrain.TabularTrainConfig(
+        agent=TabularConfig(capacity_log2=12, total_epochs=8),
+        env=EnvConfig(reward=SHAPED),
+        batch_size=16,
+        steps_per_chunk=32,
+        seed=2,
+    )
+    assert tabtrain.resolve_engine(base) == "fast"
+    for be in (None, "lax"):
+        cfg = dataclasses.replace(base, fast_backend=be)
+        st = tabtrain.init_train_state(cfg)
+        chunk = jax.jit(lambda s, c=cfg: tabtrain.train_chunk(c, s))
+        for _ in range(2):
+            st, _ = chunk(st)
+        outs[be] = st
+    a, b = outs[None], outs["lax"]
+    np.testing.assert_array_equal(
+        np.asarray(a.env_state.boards), np.asarray(b.env_state.boards)
+    )
+    np.testing.assert_array_equal(np.asarray(a.table.q), np.asarray(b.table.q))
+    np.testing.assert_array_equal(
+        np.asarray(a.env_state.prev_max), np.asarray(b.env_state.prev_max)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.env_state.consec_count),
+        np.asarray(b.env_state.consec_count),
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.env_state.episode_return),
+        np.asarray(b.env_state.episode_return),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.action_counts), np.asarray(b.action_counts)
+    )
+    assert int(a.episodes_done) == int(b.episodes_done)
+    assert float(a.sum_return) == float(b.sum_return)
