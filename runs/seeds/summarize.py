@@ -41,7 +41,12 @@ def main():
         if os.path.exists(path):
             seed = d.rstrip("/").split("s")[-1]
             rc_path = os.path.join(d, "rc.txt")
-            if os.path.exists(rc_path):
+            if not os.path.exists(rc_path):
+                # No completion marker: the run is in flight or was killed
+                # before run.sh could record an rc — label it so a
+                # truncated entry can't pose as finished.
+                seed = f"{seed} (in progress / truncated)"
+            else:
                 rc = open(rc_path).read().strip()
                 if rc != "0":
                     # Watchdog- or crash-truncated run: keep it out of the
