@@ -286,7 +286,8 @@ def test_rehash_preserves_lookups_from_foreign_placement():
     slots = rng.choice(table.capacity, size=n, replace=False)
     q_rows = rng.normal(size=(n, 4)).astype(np.float32)
     table = QTable(
-        keys=table.keys.at[slots, 0].set(lo).at[slots, 1].set(hi),
+        key_lo=table.key_lo.at[slots].set(lo),
+        key_hi=table.key_hi.at[slots].set(hi),
         q=table.q.at[slots].set(jnp.asarray(q_rows)),
         dropped=table.dropped,
     )

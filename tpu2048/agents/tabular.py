@@ -38,14 +38,16 @@ from flax import struct
 # inserts late in training.
 #
 # Why buckets instead of linear probing: the probe window is the hot
-# HBM pattern. TPU gathers/scatters on the multi-hundred-MB table carry
-# a large per-OP fixed cost (~0.3 ms each, measured — docs/DESIGN.md
-# §5b³), so the design minimizes the NUMBER of big-operand ops per
-# step, not just descriptor counts: (a) aligned 16-slot buckets make a
-# probe window ONE row gather on the (S/16, 16·2) view; (b) the two
-# 32-bit key words are INTERLEAVED in one array, so probe, claim, and
-# verify are one op each instead of two; (c) the update reuses the
-# action-selection probe's gathered q-row instead of re-gathering.
+# table pattern (2 key gathers per probed board, 2-3 probes per train
+# step). A linear window at arbitrary offsets is a (B, 16) ELEMENT
+# gather per key array, while an aligned bucket is a (B,) ROW gather on
+# the (S/16, 16) view of the same buffer. Measured on the real chip
+# (r4): 621k -> 782k env-steps/s at batch 4096, but 316k -> 251k at
+# batch 1024 — XLA lowers big-table gathers/scatters to an effectively
+# serialized per-row loop (~0.36 us/row, independent of table SIZE), so
+# op count, not descriptor count, is the binding lever; see
+# docs/DESIGN.md §5b³ for the measured cost model and the negative
+# result of interleaving the key words.
 PROBES = 16
 
 
@@ -63,23 +65,14 @@ class TabularConfig:
 
 @struct.dataclass
 class QTable:
-    keys: jax.Array  # (S, 2) uint32 — interleaved (lo, hi) key words
+    key_lo: jax.Array  # (S,) uint32 packed cells 0..7
+    key_hi: jax.Array  # (S,) uint32 packed cells 8..15
     q: jax.Array  # (S, 4) f32
     dropped: jax.Array  # () int32 — updates lost to probe-window overflow
 
     @property
     def capacity(self) -> int:
-        return self.keys.shape[0]
-
-    @property
-    def key_lo(self) -> jax.Array:
-        """(S,) uint32 — board cells 0..7 (view of ``keys``)."""
-        return self.keys[:, 0]
-
-    @property
-    def key_hi(self) -> jax.Array:
-        """(S,) uint32 — board cells 8..15 (view of ``keys``)."""
-        return self.keys[:, 1]
+        return self.key_lo.shape[0]
 
     @property
     def occupied(self) -> jax.Array:
@@ -87,30 +80,19 @@ class QTable:
 
         The all-zero key cannot collide with a real state (a 2048 board
         always has at least one tile), so no separate occupancy array is
-        needed — dropping it saves one gather per probe and one scatter
-        per update on the hot path.
+        needed — dropping it saves one (B, PROBES) gather per probe and
+        one scatter per update on the hot path.
         """
-        return (self.keys[:, 0] != 0) | (self.keys[:, 1] != 0)
+        return (self.key_lo != 0) | (self.key_hi != 0)
 
 
 def qtable_init(capacity_log2: int = 20) -> QTable:
     s = 1 << capacity_log2
     return QTable(
-        keys=jnp.zeros((s, 2), jnp.uint32),
+        key_lo=jnp.zeros((s,), jnp.uint32),
+        key_hi=jnp.zeros((s,), jnp.uint32),
         q=jnp.zeros((s, 4), jnp.float32),
         dropped=jnp.zeros((), jnp.int32),
-    )
-
-
-def make_qtable(key_lo, key_hi, q, dropped) -> QTable:
-    """Assemble a QTable from split key words (tests, file loading)."""
-    return QTable(
-        keys=jnp.stack(
-            [jnp.asarray(key_lo, jnp.uint32), jnp.asarray(key_hi, jnp.uint32)],
-            axis=-1,
-        ),
-        q=jnp.asarray(q, jnp.float32),
-        dropped=jnp.asarray(dropped, jnp.int32),
     )
 
 
@@ -145,18 +127,16 @@ def _probe(table: QTable, lo, hi):
 
     ``match_slot``/``free_slot`` are -1 when not found within the window.
     The window is the key's whole PROBES-aligned bucket, gathered as ONE
-    row of the ``(S/PROBES, PROBES*2)`` view of the interleaved key
-    array (see the PROBES comment for why this beats a linear window and
-    split key arrays on TPU).
+    row of the ``(S/PROBES, PROBES)`` view of each key array (see the
+    PROBES comment for why this beats a linear window on TPU).
     """
     capacity = table.capacity
     n_buckets = capacity // PROBES
     bucket = _hash(lo, hi, n_buckets)  # (B,)
     offs = jnp.arange(PROBES, dtype=jnp.int32)
     slots = bucket[:, None] * PROBES + offs[None, :]  # (B, P) contiguous
-    rows = table.keys.reshape(n_buckets, PROBES * 2)[bucket]  # (B, 2P)
-    wlo = rows[:, 0::2]
-    whi = rows[:, 1::2]
+    wlo = table.key_lo.reshape(n_buckets, PROBES)[bucket]
+    whi = table.key_hi.reshape(n_buckets, PROBES)[bucket]
     # Empty slot <=> key (0, 0) (see QTable.occupied): a real probing key is
     # never all-zero, so key equality alone cannot match an empty slot.
     # An all-zero PROBING key (impossible for a real 2048 board, but
@@ -195,60 +175,52 @@ def qtable_update(table: QTable, boards, actions, targets, learning_rate,
     then verifies claims — when two new states race for one slot, the loser
     drops its update and is counted in ``table.dropped``.
 
-    ``probe``: optional ``(lo, hi, match_slot, free_slot, q_rows)`` from
+    ``probe``: optional ``(lo, hi, match_slot, free_slot)`` from
     :func:`choose_actions_probed` on the SAME table and boards — reuses
-    the action-selection probe AND its gathered q-row (each saved
-    gather/scatter op on the multi-hundred-MB table is ~0.3 ms of fixed
-    cost, DESIGN §5b³; valid because the table does not change between
-    action selection and the update).
+    the action-selection probe instead of re-hashing/re-gathering (a probe
+    is ~1/3 of the step's table traffic; valid because the table does not
+    change between action selection and the update).
     """
     if probe is not None:
-        lo, hi, match_slot, free_slot, q_rows = probe
+        lo, hi, match_slot, free_slot = probe
     else:
         lo, hi = pack_board(boards)
         match_slot, free_slot = _probe(table, lo, hi)
-        q_rows = None
     slot = jnp.where(match_slot >= 0, match_slot, free_slot)
     valid = slot >= 0
     safe_slot = jnp.maximum(slot, 0)
-    s = table.capacity
 
-    # Claim free slots (arbitrary winner on conflict), then verify —
-    # ONE flat scatter writing both key words (interleaved layout),
-    # non-claiming lanes routed out of bounds and dropped.
+    # Claim free slots (arbitrary winner on conflict), then verify.
     is_new = (match_slot < 0) & valid
-    flat_base = jnp.where(is_new, safe_slot * 2, 2 * s)
-    claim_idx = jnp.concatenate([flat_base, flat_base + 1])
-    claim_val = jnp.concatenate([lo, hi])
-    keys_flat = table.keys.reshape(-1).at[claim_idx].set(
-        claim_val, mode="drop"
+    claim_slot = jnp.where(is_new, safe_slot, 0)
+    key_lo = table.key_lo.at[claim_slot].set(
+        jnp.where(is_new, lo, table.key_lo[claim_slot])
     )
-    # Verify claims: a claimed slot whose key now reads back as ours is
-    # won (occupancy is implied — a real key is never (0, 0)). One flat
-    # gather for both words.
-    read_idx = jnp.concatenate([safe_slot * 2, safe_slot * 2 + 1])
-    read = keys_flat[read_idx]
-    b = lo.shape[0]
-    won = (read[:b] == lo) & (read[b:] == hi)
+    key_hi = table.key_hi.at[claim_slot].set(
+        jnp.where(is_new, hi, table.key_hi[claim_slot])
+    )
+    # Verify claims: a claimed slot whose key now reads back as ours is won
+    # (occupancy is implied — a real key is never (0, 0), QTable.occupied).
+    won = (key_lo[safe_slot] == lo) & (key_hi[safe_slot] == hi)
     valid = valid & won
 
     # Whole-row read-modify-scatter: a 2-index (slot, action) element
     # scatter lowers to an XLA path ~12x slower on TPU than a row
-    # scatter-add at the same batch. Row .add keeps the documented
+    # scatter-add at the same batch (measured 9.2 ms vs 0.76 ms for 4096
+    # updates into a 2**24-row table — TPU gather/scatter cost is
+    # per-descriptor, so B row descriptors beat B element descriptors
+    # with an extra index dimension). Row .add keeps the documented
     # duplicate-state semantics: same-slot updates combine additively.
     onehot = jax.nn.one_hot(actions, 4, dtype=jnp.float32)
-    if q_rows is None:
-        q_rows = table.q[safe_slot]  # (B, 4) row gather
-        q_rows = jnp.where((match_slot >= 0)[:, None], q_rows, 0.0)
-    # q_rows is already zero-masked for unmatched states (fresh rows
-    # read as zero), both here and in choose_actions_probed.
+    q_rows = table.q[safe_slot]  # (B, 4) row gather
     q_sa = jnp.sum(q_rows * onehot, axis=1)
+    q_sa = jnp.where(is_new & valid, 0.0, q_sa)  # fresh rows read as zero
     td = learning_rate * (targets - q_sa)
     td = jnp.where(valid, td, 0.0)
     q = table.q.at[safe_slot].add(td[:, None] * onehot)
 
     dropped = table.dropped + jnp.sum((~valid).astype(jnp.int32))
-    return QTable(keys=keys_flat.reshape(s, 2), q=q, dropped=dropped)
+    return QTable(key_lo=key_lo, key_hi=key_hi, q=q, dropped=dropped)
 
 
 def q_learning_targets(table: QTable, rewards, next_boards, dones, discount):
@@ -263,9 +235,8 @@ def choose_actions_probed(table: QTable, boards, epsilon, key):
 
     Random branch is uniform over all 4 actions; greedy branch is argmax of
     the state's Q-row (zeros -> action 0, matching np.argmax on zeros).
-    The returned ``(lo, hi, match_slot, free_slot, q_rows)`` probe can be
-    passed to :func:`qtable_update` for the same boards to skip both its
-    re-probe and its q-row re-gather.
+    The returned ``(lo, hi, match_slot, free_slot)`` probe can be passed to
+    :func:`qtable_update` for the same boards to skip its re-probe.
     """
     b = boards.shape[0]
     k_expl, k_act = jax.random.split(key)
@@ -277,7 +248,7 @@ def choose_actions_probed(table: QTable, boards, epsilon, key):
     q = jnp.where((match_slot >= 0)[:, None], q, 0.0)
     greedy = jnp.argmax(q, axis=-1).astype(jnp.int32)
     actions = jnp.where(explore, random_actions, greedy)
-    return actions, (lo, hi, match_slot, free_slot, q)
+    return actions, (lo, hi, match_slot, free_slot)
 
 
 def choose_actions(table: QTable, boards, epsilon, key):
@@ -354,9 +325,8 @@ def rehash_table(table: QTable) -> QTable:
     """
     s = table.capacity
     n_buckets = s // PROBES
-    key_lo, key_hi = table.keys[:, 0], table.keys[:, 1]
-    occ = (key_lo != 0) | (key_hi != 0)
-    bucket = _hash(key_lo, key_hi, n_buckets)
+    occ = (table.key_lo != 0) | (table.key_hi != 0)
+    bucket = _hash(table.key_lo, table.key_hi, n_buckets)
     order = jnp.argsort(jnp.where(occ, bucket, n_buckets))  # empties last
     sb = bucket[order]
     so = occ[order]
@@ -371,8 +341,11 @@ def rehash_table(table: QTable) -> QTable:
     valid = so & (rank < PROBES)
     dest = jnp.where(valid, sb * PROBES + rank, s)  # s = dropped
     return QTable(
-        keys=jnp.zeros((s, 2), jnp.uint32).at[dest].set(
-            table.keys[order], mode="drop"
+        key_lo=jnp.zeros((s,), jnp.uint32).at[dest].set(
+            table.key_lo[order], mode="drop"
+        ),
+        key_hi=jnp.zeros((s,), jnp.uint32).at[dest].set(
+            table.key_hi[order], mode="drop"
         ),
         q=jnp.zeros((s, 4), jnp.float32).at[dest].set(
             table.q[order], mode="drop"
@@ -389,11 +362,12 @@ def load_qtable(path: str) -> QTable:
         # Older files carry an explicit "occupied" array; occupancy is now
         # derived from the key sentinel (QTable.occupied), so it is
         # ignored on load (key+occupancy were always written together, so
-        # the derived value is identical). The FILE format stays split
-        # key_lo/key_hi across layout generations; interleaving is an
-        # in-memory layout choice.
-        table = make_qtable(
-            z["key_lo"], z["key_hi"], z["q"], z["dropped"]
+        # the derived value is identical).
+        table = QTable(
+            key_lo=jnp.asarray(z["key_lo"]),
+            key_hi=jnp.asarray(z["key_hi"]),
+            q=jnp.asarray(z["q"]),
+            dropped=jnp.asarray(z["dropped"]),
         )
         layout = str(z["layout"]) if "layout" in z else "linear"
     if layout != "bucketed":
