@@ -21,8 +21,8 @@ Secondary modes (each prints its own JSON line):
                      insert; learner updates off) — the throughput of the
                      hot loop the reference spends its life in
                      (mainDQL_CNN_step2.py:160-237).
-* ``--tabular``      env-steps/s of the tabular training chunk (shaped env
-                     + hashed Q-table gather/scatter).
+* ``--tabular``      env-steps/s of the tabular training chunk (shaped
+                     fast engine + bucketed hashed Q-table).
 * ``--scale N[,M..]``  DP scaling: the full DQN train chunk on an N-device
                      mesh; one JSON line per N with steps/s/device and
                      efficiency vs N=1 (the >=85% BASELINE.md target). On
