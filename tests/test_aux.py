@@ -186,6 +186,30 @@ def test_watchdog_quiet_under_heartbeats():
     assert not fired
 
 
+def test_watchdog_startup_floor_defers_first_fire():
+    """A --watchdog value sized for steady-state chunks must not kill the
+    first (compiling) chunk: before the first beat the effective window is
+    max(timeout, startup_floor); after it, plain timeout (VERDICT r4 #7)."""
+    import threading
+    import time as _time
+
+    from tpu2048.utils.watchdog import Watchdog
+
+    fired = threading.Event()
+    wd = Watchdog(timeout=0.2, label="t",
+                  on_timeout=lambda s: fired.set(),
+                  poll_interval=0.05, startup_floor=30.0)
+    wd.start()
+    # Well past the steady-state timeout, still inside the startup floor,
+    # no beat yet (a slow fake first chunk): must NOT fire.
+    _time.sleep(0.8)
+    assert not fired.is_set(), "fired during the startup grace window"
+    # First beat ends the grace; a stall now fires at the plain timeout.
+    wd.beat()
+    assert fired.wait(timeout=5.0), "never fired after the first beat"
+    wd.stop()
+
+
 def test_watchdog_rejects_nonpositive_timeout():
     from tpu2048.utils.watchdog import Watchdog
 

@@ -266,6 +266,18 @@ def test_fused_conv_block_matches_four_convs():
     )
 
 
+def test_create_model_defaults_unfused_without_attr():
+    """A duck-typed config WITHOUT fused_conv must build the unfused model
+    (the fused variant measured 1.77x slower; DQNConfig defaults it off —
+    VERDICT r4 #5)."""
+    from types import SimpleNamespace
+
+    cfg = SimpleNamespace(
+        features=8, hidden=16, dropout=0.5, num_blocks=1, bf16=False
+    )
+    assert create_model(cfg).fused is False
+
+
 def test_checked_wrapper_catches_nan():
     from tpu2048.utils import checked
 

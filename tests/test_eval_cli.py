@@ -105,6 +105,23 @@ def test_cli_dqn_train_eval_plot(tmp_path):
     assert rc == 0
     assert out_png.exists() and out_png.stat().st_size > 1000
 
+    # Warm-start a NEW run from that checkpoint (the reference's
+    # resumed-lineage protocol, mainDQL:124-139): episode counters start
+    # at 0 with the carried network/replay.
+    log2 = tmp_path / "warm.jsonl"
+    rc = cli_main(
+        ["train", "dqn", "--episodes", "5", "--log", str(log2),
+         "--warm-start", str(ckpt), "--seed", "3"] + common
+    )
+    assert rc == 0
+    rows = [json.loads(l) for l in log2.read_text().splitlines()]
+    # Fresh counters: the first row's env_steps is one chunk's worth,
+    # not a continuation of the source run's.
+    assert rows[0]["env_steps"] == 16 * 8
+    # Carried lineage: the replay buffer starts pre-filled from the
+    # source run rather than from the trickle of a cold start.
+    assert rows[0]["buffer_size"] > 16 * 8
+
 
 def test_cli_plot_every_regenerates_during_training(tmp_path):
     # The reference re-renders its 3-panel PNG every 10 episodes while

@@ -86,6 +86,22 @@ def test_fit_block():
     assert fit_block(1, 1024) == 1
 
 
+def test_fit_block_warns_only_when_search_reduces_block():
+    import warnings
+
+    from tpu2048.env.fast import fit_block
+
+    # An explicitly requested small block (or a small batch) is a
+    # deliberate configuration: no warning (ADVICE r4 #1).
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert fit_block(16, 8) == 8
+        assert fit_block(64, 64) == 64
+    # A batch whose largest divisor under the cap is tiny IS degenerate.
+    with pytest.warns(UserWarning, match="degenerate"):
+        assert fit_block(34, 32) == 17
+
+
 def test_dqn_train_chunk_backends_bitwise():
     """Kernel (interpret) vs lax oracle: identical through train_chunk."""
     outs = {}

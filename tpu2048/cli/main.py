@@ -173,6 +173,21 @@ def _add_dqn_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--prune-on-resume", type=int, default=0,
                    help="drop N worst episodes from replay after resume "
                         "(reference load_memory pruned 99)")
+    p.add_argument("--warm-start", type=str, default=None, metavar="DIR",
+                   help="checkpoint dir of ANOTHER run to warm-start from: "
+                        "carries network/target/optimizer/epsilon/replay, "
+                        "resets envs + episode counters + metrics — the "
+                        "reference's resumed-pretrained-lineage protocol "
+                        "(mainDQL:124-139). With --resume, an existing "
+                        "checkpoint in --checkpoint-dir takes precedence "
+                        "(supervisor restarts keep this run's own state).")
+    p.add_argument("--warm-start-named", type=str, default=None,
+                   metavar="NAME",
+                   help="named checkpoint inside --warm-start (e.g. "
+                        "tile_1024_ep7520); default = latest step")
+    p.add_argument("--warm-start-step", type=int, default=None,
+                   help="step checkpoint inside --warm-start "
+                        "(default = latest)")
     p.add_argument("--rollback", action="store_true",
                    help="enable the block rollback-on-regression policy")
     p.add_argument("--rollback-store", choices=["memory", "disk"],
@@ -354,8 +369,31 @@ def cmd_train(args) -> int:
                 mesh = create_mesh(
                     MeshConfig(data_parallel=dp, model_parallel=mp)
                 )
+            cfg = _dqn_config(args)
+            model = state = None
+            ws = getattr(args, "warm_start", None)
+            if ws:
+                # Skip the (expensive) warm restore when a supervisor
+                # restart will resume from this run's own checkpoints
+                # anyway — the lineage is already baked into them.
+                own_ckpt = (
+                    args.resume and mgr is not None
+                    and mgr.latest_step() is not None
+                )
+                if not own_ckpt:
+                    from tpu2048.training.dqn import (
+                        init_loop_state,
+                        warm_start_state,
+                    )
+
+                    model, state = init_loop_state(cfg)
+                    state = warm_start_state(
+                        state, ws,
+                        named=getattr(args, "warm_start_named", None),
+                        step=getattr(args, "warm_start_step", None),
+                    )
             train(
-                _dqn_config(args),
+                cfg,
                 total_episodes=args.episodes,
                 log_fn=log_fn,
                 ckpt_manager=mgr,
@@ -363,6 +401,8 @@ def cmd_train(args) -> int:
                 trace_fn=trace_fn,
                 mesh=mesh,
                 model_parallel=mp,
+                state=state,
+                model=model,
             )
             if mgr:
                 mgr.close()

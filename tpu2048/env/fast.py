@@ -110,10 +110,14 @@ def fit_block(batch: int, block: int) -> int:
     (ops/pallas_step.py) — so below 128 lanes the kernel runs far off its
     throughput envelope.
     """
+    requested = block
     block = max(min(block, batch), 1)
     while batch % block:
         block -= 1
-    if block < min(128, batch):
+    # Only warn when the divisor search actually REDUCED the block below
+    # what was asked for: an explicit small block (or a batch smaller than
+    # 128) is a deliberate configuration, not a degenerate prime batch.
+    if block < min(128, batch, requested):
         import warnings
 
         warnings.warn(
@@ -788,8 +792,11 @@ def fast_rollout_eval(
     k_steps: int,
 ) -> Tuple[FastEnvState, EvalLatch]:
     """``k_steps`` random-legal-policy steps with in-kernel first-
-    completion latching — the random-eval fast path (GameDemo.py:272-285
-    random mode, at batch scale).
+    completion latching — the random-eval fast path (the batched
+    counterpart of GameDemo.py:272-285's random mode, with one documented
+    delta: the reference samples uniformly over ALL 4 actions including
+    illegal ones, while this path is uniform over LEGAL moves only — see
+    eval/evaluate.py:_evaluate_fast_random).
 
     Same window semantics as :func:`fast_rollout`; additionally each
     lane's FIRST episode end records (score, length, max tile) into

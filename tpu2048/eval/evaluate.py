@@ -254,7 +254,7 @@ def _evaluate_fast(
     restarts are masked out of the action counts.
     """
     policy = as_policy(policy)
-    if policy.in_kernel_random and env_config.reward == "simple":
+    if policy.in_kernel_random and env_config.reward == envlib.SIMPLE:
         return _evaluate_fast_random(
             num_games, key, env_config, batch_size, max_steps, fast_backend
         )
@@ -346,8 +346,14 @@ def _evaluate_fast_random(
     (same distribution as random_legal_policy, kernel PRNG stream), so
     eval runs k=16 env steps per launch with the first-completion
     latches resident in VMEM (fastlib.fast_rollout_eval) — the
-    1000-game random baseline becomes a handful of launches
-    (GameDemo.py:272-285 random mode, at batch scale).
+    1000-game random baseline becomes a handful of launches.
+
+    Documented delta vs the reference's random mode (GameDemo.py:272-285):
+    the reference samples uniformly over ALL 4 actions including illegal
+    ones (``np.random.randint(0,4)``), burning turns on no-op moves; this
+    path (like random_legal_policy) is uniform over LEGAL moves only, so
+    episode-length/score distributions are not directly comparable to a
+    reference random-mode transcript.
     """
     k_steps = 16
     scores: List[np.ndarray] = []

@@ -184,6 +184,62 @@ def init_loop_state(config: DQNTrainConfig):
     return model, state
 
 
+def warm_start_state(
+    state: DQNLoopState,
+    directory: str,
+    named: Optional[str] = None,
+    step: Optional[int] = None,
+) -> DQNLoopState:
+    """Graft another run's LEARNED state onto a fresh loop state.
+
+    Reproduces the reference's resumed-pretrained-lineage protocol: its
+    run of record never starts from a cold network — the driver resumes a
+    multi-part lineage (``resume = True; start_episode = 1900``,
+    /root/reference/Deep_QLearning/main_dir/mainDQL_CNN_step2.py:124-126,
+    133-139; shipped ``pretrain1/2.png`` artifacts), carrying the model
+    weights, the whole replay memory, and the decayed epsilon/step_counter
+    (Dqn8TestNOPERCNN.py:442-487) into a fresh episode count (the winning
+    artifact is tagged episode 1,858 < the 1,900 resume point, so the
+    episode counter restarted with the lineage intact).
+
+    Carried from the source checkpoint: ``agent`` (online + target params,
+    optimizer state incl. the decayed LR, epsilon step_counter,
+    train_steps) and ``buffer`` (the replay memory, Dqn8:453-459).
+    Fresh from ``state``: envs, dedup caches, RNG (the new run's seed),
+    episode/env-step counters, update debt, and every metric accumulator —
+    so ``episodes_done`` (and analyze's ``first_<tile>_by_episode``)
+    counts episodes FROM THE RESUME POINT, directly comparable to the
+    reference's 1,858 anchor. (``train_steps``/LR carry with the agent;
+    the from-resume axes of record are episodes and env_steps.)
+
+    ``named`` selects a named checkpoint (milestone tiers, e.g.
+    ``tile_1024_ep7520``); otherwise ``step`` or the latest step. The
+    source run must share the state-shaping config axes (num_envs, model
+    dims, memory_size, replay_shards) — Orbax restores into ``state`` as
+    the template and will refuse mismatched shapes.
+    """
+    from tpu2048.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(directory)
+    try:
+        if named is not None:
+            if not mgr.has_named(named):
+                raise FileNotFoundError(
+                    f"no named checkpoint {named!r} in {directory}"
+                )
+            restored = mgr.restore_named(named, state)
+        else:
+            s = step if step is not None else mgr.latest_step()
+            if s is None:
+                raise FileNotFoundError(
+                    f"no step checkpoints in {directory}"
+                )
+            restored = mgr.restore(s, state)
+    finally:
+        mgr.close()
+    return state.replace(agent=restored.agent, buffer=restored.buffer)
+
+
 def train_chunk(config: DQNTrainConfig, model, tx, state: DQNLoopState,
                 sharded_kernel=None):
     """``steps_per_chunk`` vectorized actor steps with interleaved learning.
@@ -473,9 +529,12 @@ def train(
     env0_episode = 0
     watchdog = None
     if config.watchdog_timeout > 0:
-        from tpu2048.utils.watchdog import Watchdog
+        from tpu2048.utils.watchdog import STARTUP_FLOOR, Watchdog
 
-        watchdog = Watchdog(config.watchdog_timeout, label="dqn").start()
+        watchdog = Watchdog(
+            config.watchdog_timeout, label="dqn",
+            startup_floor=STARTUP_FLOOR,
+        ).start()
     try:
         # Keyword args on purpose: several neighbors share a type
         # (last_sync/last_prune/last_ckpt, the three callbacks) and a

@@ -188,9 +188,12 @@ def train(
     prev = dict(ep=0, ret=0.0, score=0.0, length=0.0, t=time.time())
     watchdog = None
     if config.watchdog_timeout > 0:
-        from tpu2048.utils.watchdog import Watchdog
+        from tpu2048.utils.watchdog import STARTUP_FLOOR, Watchdog
 
-        watchdog = Watchdog(config.watchdog_timeout, label="tabular").start()
+        watchdog = Watchdog(
+            config.watchdog_timeout, label="tabular",
+            startup_floor=STARTUP_FLOOR,
+        ).start()
     try:
         return _train_loop(
             config, chunk, state, logs, prev, watchdog, log_fn, save_path

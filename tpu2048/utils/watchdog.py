@@ -34,6 +34,12 @@ from typing import Callable, Optional
 #: resume. 70 = BSD EX_SOFTWARE ("internal software error").
 WATCHDOG_EXIT_CODE = 70
 
+#: Pre-first-beat grace the training drivers pass as ``startup_floor``:
+#: worst-case first compile (~90 s) + a full-state checkpoint restore over
+#: a tunneled TPU (~140 s), with headroom. A --watchdog value below this
+#: still applies in steady state; it just can't kill the first chunk.
+STARTUP_FLOOR = 300.0
+
 
 class Watchdog:
     """Fires ``on_timeout`` if :meth:`beat` isn't called for ``timeout`` s.
@@ -57,11 +63,20 @@ class Watchdog:
         label: str = "train",
         on_timeout: Optional[Callable[[float], None]] = None,
         poll_interval: Optional[float] = None,
+        startup_floor: float = 0.0,
     ) -> None:
         if timeout <= 0:
             raise ValueError("watchdog timeout must be positive")
         self.timeout = float(timeout)
         self.label = label
+        # Until the FIRST beat, the effective window is
+        # max(timeout, startup_floor): the first chunk pays one-time
+        # compile (~90 s) + possibly a full-state restore, and a --watchdog
+        # value sized for steady-state chunks must not kill a legitimately
+        # compiling run (it has made no beat yet, so there is nothing to
+        # distinguish "compiling" from "wedged" except a longer grace).
+        self.startup_floor = float(startup_floor)
+        self._beaten = False
         self._on_timeout = on_timeout or self._default_on_timeout
         self._poll = poll_interval or min(5.0, self.timeout / 4)
         self._last = time.monotonic()
@@ -78,6 +93,7 @@ class Watchdog:
 
     def beat(self) -> None:
         """Record forward progress (cheap; call after every chunk)."""
+        self._beaten = True
         self._last = time.monotonic()
 
     def stop(self) -> None:
@@ -89,7 +105,11 @@ class Watchdog:
     def _run(self) -> None:
         while not self._stop.wait(self._poll):
             stale = time.monotonic() - self._last
-            if stale > self.timeout:
+            window = (
+                self.timeout if self._beaten
+                else max(self.timeout, self.startup_floor)
+            )
+            if stale > window:
                 self._on_timeout(stale)
                 return
 
