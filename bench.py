@@ -240,14 +240,18 @@ def train_loop_main(envs: int = 128, chunks: int = 8) -> None:
     )
 
 
-def tabular_main(batch: int = 4096, chunks: int = 4) -> None:
+def tabular_main(batch: int = 4096, chunks: int = 4,
+                 table_backend: str = "auto") -> None:
     """Tabular training env-steps/s: shaped FAST engine (fused Pallas
-    kernel, shaped mode) + 16-way bucketed hashed Q-table
-    (agents/tabular.py) — the QLearningBase regime end-to-end."""
+    kernel, shaped mode) + hashed Q-table — the QLearningBase regime
+    end-to-end. ``table_backend``: "pallas" (packed explicit-DMA kernels,
+    ops/table_kernel.py — TPU default), "xla" (their jnp twin), "legacy"
+    (the r4 two-array table, for the A/B)."""
     from tpu2048.agents.tabular import TabularConfig
     from tpu2048.training.tabular import (
         TabularTrainConfig,
         init_train_state,
+        resolve_table_backend,
         train_chunk,
     )
 
@@ -255,6 +259,7 @@ def tabular_main(batch: int = 4096, chunks: int = 4) -> None:
         agent=TabularConfig(capacity_log2=24, total_epochs=100),
         batch_size=batch,
         steps_per_chunk=256,
+        table_backend=table_backend,
     )
     state = init_train_state(config)
     chunk = jax.jit(
@@ -274,6 +279,8 @@ def tabular_main(batch: int = 4096, chunks: int = 4) -> None:
                 "metric": "tabular_env_steps_per_s_per_chip",
                 "value": round(rate),
                 "unit": "steps/s",
+                "batch": batch,
+                "table_backend": resolve_table_backend(config),
                 "vs_baseline": round(rate / PER_CHIP_TARGET, 3),
             }
         )
@@ -394,6 +401,10 @@ if __name__ == "__main__":
     ap.add_argument("--rollout-k", type=int, default=16,
                     help="env steps per kernel launch for the headline "
                          "bench (1 = single-step fast_step path)")
+    ap.add_argument("--table-backend", type=str, default="auto",
+                    choices=["auto", "pallas", "interpret", "xla", "legacy"],
+                    help="--tabular Q-table backend (pallas = packed "
+                         "explicit-DMA kernels; legacy = r4 table, for A/B)")
     a = ap.parse_args()
 
     if a.learner:
@@ -401,7 +412,7 @@ if __name__ == "__main__":
     elif a.train_loop:
         train_loop_main(envs=a.envs)
     elif a.tabular:
-        tabular_main(batch=a.batch or 4096)
+        tabular_main(batch=a.batch or 4096, table_backend=a.table_backend)
     elif a.scale:
         scale_main([int(x) for x in a.scale.split(",")])
     else:

@@ -106,6 +106,12 @@ def _add_tabular_args(p: argparse.ArgumentParser) -> None:
                    help="actor engine: fast = fused Pallas step kernel "
                         "(simple reward only), lax = op-by-op env; auto "
                         "picks fast whenever the env semantics allow")
+    p.add_argument("--table-backend",
+                   choices=["auto", "pallas", "interpret", "xla", "legacy"],
+                   default="auto",
+                   help="Q-table backend: packed explicit-DMA kernels "
+                        "(pallas, TPU default), their jnp twin (xla), or "
+                        "the r4 two-array table (legacy)")
     p.add_argument("--steps-per-chunk", type=int, default=256)
     p.add_argument("--plot-every", type=int, default=0,
                    help="regenerate the 3-panel training plot every N "
@@ -232,6 +238,7 @@ def _tabular_config(args):
         total_episodes=args.episodes,
         steps_per_chunk=args.steps_per_chunk,
         engine=getattr(args, "engine", "auto"),
+        table_backend=getattr(args, "table_backend", "auto"),
         watchdog_timeout=getattr(args, "watchdog", 0.0) or 0.0,
         seed=args.seed,
     )

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from tpu2048.agents import tabular as tab
+from tpu2048.agents import tabular_fast as tabf
 from tpu2048.env import EnvConfig, EnvState, SHAPED
 from tpu2048.env import env as envlib
 from tpu2048.env import fast as fastlib
@@ -42,6 +43,12 @@ class TabularTrainConfig:
     # shaped reward's stall counters / prev-max bonuses); "auto" picks.
     engine: str = "auto"
     fast_backend: Optional[str] = None  # None=auto, "pallas", "lax" (oracle)
+    # Q-table backend. "auto": the packed explicit-DMA table on TPU
+    # ("pallas", ops/table_kernel.py), its bit-exact jnp twin elsewhere
+    # ("xla"). "interpret" runs the real kernels interpreted (tests).
+    # "legacy" keeps the r4 two-array table (agents/tabular.py ops) — the
+    # differential oracle and the path eval .npz files flow through.
+    table_backend: str = "auto"
     # Failure detection: exit WATCHDOG_EXIT_CODE if no chunk completes in
     # this many seconds (0 = off); see tpu2048/utils/watchdog.py.
     watchdog_timeout: float = 0.0
@@ -51,6 +58,16 @@ class TabularTrainConfig:
 def resolve_engine(config: TabularTrainConfig) -> str:
     """Pick the actor engine; validate an explicit "fast" request."""
     return fastlib.resolve_engine(config.env, config.engine)
+
+
+def resolve_table_backend(config: TabularTrainConfig) -> str:
+    """Pick the Q-table backend (see TabularTrainConfig.table_backend)."""
+    tb = config.table_backend
+    if tb == "auto":
+        return "pallas" if jax.default_backend() != "cpu" else "xla"
+    if tb not in ("pallas", "interpret", "xla", "legacy"):
+        raise ValueError(f"unknown table_backend {tb!r}")
+    return tb
 
 
 def fast_config(config: TabularTrainConfig) -> fastlib.FastEnvConfig:
@@ -87,8 +104,12 @@ def init_train_state(config: TabularTrainConfig) -> TabularTrainState:
         )
     else:
         env_state = envlib.reset(config.env, k_env, config.batch_size)
+    if resolve_table_backend(config) == "legacy":
+        table = tab.qtable_init(config.agent.capacity_log2)
+    else:
+        table = tabf.packed_init(config.agent.capacity_log2)
     return TabularTrainState(
-        table=tab.qtable_init(config.agent.capacity_log2),
+        table=table,
         env_state=env_state,
         rng=k_rng,
         episodes_done=jnp.zeros((), jnp.int32),
@@ -109,6 +130,7 @@ def train_chunk(config: TabularTrainConfig, state: TabularTrainState):
 
     engine = resolve_engine(config)
     fcfg = fast_config(config) if engine == "fast" else None
+    tbk = resolve_table_backend(config)
 
     def body(st: TabularTrainState, _):
         rng, k_act = jax.random.split(st.rng)
@@ -118,7 +140,14 @@ def train_chunk(config: TabularTrainConfig, state: TabularTrainState):
             boards = ps.from_cell_major(st.env_state.boards)
         else:
             boards = st.env_state.board
-        actions, probe = tab.choose_actions_probed(st.table, boards, eps, k_act)
+        if tbk == "legacy":
+            actions, probe = tab.choose_actions_probed(
+                st.table, boards, eps, k_act
+            )
+        else:
+            actions, probe = tabf.fast_choose_actions_probed(
+                st.table, boards, eps, k_act, backend=tbk
+            )
         if engine == "fast":
             env_state, ts = fastlib.fast_step(
                 fcfg, st.env_state, actions, need_obs=True
@@ -127,13 +156,23 @@ def train_chunk(config: TabularTrainConfig, state: TabularTrainState):
         else:
             env_state, ts = envlib.step(env_cfg, st.env_state, actions)
             next_boards = ts.obs
-        targets = tab.q_learning_targets(
-            st.table, ts.reward, next_boards, ts.done, agent_cfg.discount
-        )
-        table = tab.qtable_update(
-            st.table, boards, actions, targets, agent_cfg.learning_rate,
-            probe=probe,
-        )
+        if tbk == "legacy":
+            targets = tab.q_learning_targets(
+                st.table, ts.reward, next_boards, ts.done, agent_cfg.discount
+            )
+            table = tab.qtable_update(
+                st.table, boards, actions, targets, agent_cfg.learning_rate,
+                probe=probe,
+            )
+        else:
+            targets = tabf.fast_targets(
+                st.table, ts.reward, next_boards, ts.done,
+                agent_cfg.discount, backend=tbk,
+            )
+            table = tabf.fast_update(
+                st.table, probe, actions, targets, agent_cfg.learning_rate,
+                backend=tbk,
+            )
         done_f = ts.done.astype(jnp.float32)
         st = TabularTrainState(
             table=table,
@@ -242,5 +281,10 @@ def _train_loop(config, chunk, state, logs, prev, watchdog, log_fn,
         if log_fn:
             log_fn(row)
     if save_path:
-        tab.save_qtable(save_path, state.table)
+        table = state.table
+        if isinstance(table, tabf.PackedQTable):
+            # .npz files stay in the canonical two-array layout so eval
+            # (`--policy tabular`) and older tables interoperate.
+            table = tabf.unpack_qtable(table)
+        tab.save_qtable(save_path, table)
     return logs
