@@ -195,7 +195,12 @@ def test_shaped_tabular_training_chunk_on_fast_engine():
     for _ in range(4):
         state, eps = chunk(state)
     assert int(jnp.sum(state.table.occupied)) > 50
-    assert float(jnp.sum(jnp.abs(state.table.q))) > 0
+    from tpu2048.agents.tabular_fast import PackedQTable, unpack_qtable
+
+    table = state.table
+    if isinstance(table, PackedQTable):
+        table = unpack_qtable(table)
+    assert float(jnp.sum(jnp.abs(table.q))) > 0
     assert int(state.env_steps) == 4 * 32 * 64
     # Shaped rewards are normalized to [-10, 10] per step (plus stall
     # penalties >= -10): returns stay bounded, never NaN.

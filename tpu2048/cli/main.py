@@ -458,10 +458,15 @@ def cmd_eval(args) -> int:
         print(f"unknown policy {args.policy}", file=sys.stderr)
         return 2
 
+    from tpu2048.env import EnvConfig
+
     result = evaluate(
         policy,
         num_games=args.games,
         key=jax.random.PRNGKey(args.seed),
+        env_config=EnvConfig(
+            reward=getattr(args, "reward", "simple"), auto_reset=False
+        ),
         batch_size=args.eval_batch,
         engine=getattr(args, "engine", "auto"),
     )
@@ -596,6 +601,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Q-table .npz for --policy tabular")
     pe.add_argument("--games", type=int, default=512)
     pe.add_argument("--eval-batch", type=int, default=512)
+    pe.add_argument("--reward", choices=["simple", "shaped"],
+                    default="simple",
+                    help="env regime to evaluate under: simple "
+                         "(Deep_QLearning) or shaped (QLearningBase — "
+                         "random eval runs on the shaped rollout kernel)")
     pe.add_argument("--step", type=int, default=None)
     pe.add_argument("--named", type=str, default=None,
                     help="load a NAMED checkpoint (milestone tile_512_*/"

@@ -372,24 +372,40 @@ def fast_rollout(
       ``(new_state, reward_sum, done_count)`` — ``reward_sum`` ``(B,)``
       int32 (rewards are integer-valued; the sum is exact) and
       ``done_count`` ``(B,)`` int32 over the window.
+
+    SHAPED configs (QLearningBase semantics) run too — the stall counter
+    advances IN-KERNEL on the resolved random action and force-terminates
+    at the cutoff (Game2048_env.py:110-127; VERDICT r4 #8) — but a shaped
+    window maintains NO reward lanes: ``reward_sum`` is zeros and
+    ``episode_return``/``prev_max``/``last_consec_penalty`` go stale
+    (shaped rewards are host-side float shaping, and the rollout's
+    consumers — eval latches, done counts, board evolution — are
+    reward-free). Step with :func:`fast_step` when shaped returns matter.
     """
     b = state.batch_size
-    if config.shaped:
-        raise ValueError(
-            "fast_rollout implements the simple-reward random-policy "
-            "window; the shaped env's stall counters need the explicit "
-            "action stream (see _shaped_fast_step) — step it with "
-            "fast_step instead."
-        )
     if config.backend == "lax":
         # Oracle backend: no fused kernel — run the window step-by-step.
         # (Each fast_step re-draws its own rng bits internally, so the
         # kernel path's block draw below would be dead compute here.)
+        # Shaped: the resolved random action is recomputed from the same
+        # bit row the kernel consumes and fed explicitly (the shaped step
+        # needs the action stream for its stall counters).
         rsum = jnp.zeros((b,), jnp.int32)
         dcnt = jnp.zeros((b,), jnp.int32)
         for _ in range(k_steps):
-            state, ts = fast_step(config, state)
-            rsum = rsum + ts.reward.astype(jnp.int32)
+            if config.shaped:
+                bits0 = jax.random.bits(
+                    jax.random.fold_in(jax.random.PRNGKey(2048), state.seed),
+                    (8, b), jnp.uint32,
+                )[0]
+                legal = board_ops.legal_moves_mask(
+                    ps.from_cell_major(state.boards)
+                )
+                act = _rand_legal_action(legal, bits0)
+                state, ts = fast_step(config, state, act)
+            else:
+                state, ts = fast_step(config, state)
+                rsum = rsum + ts.reward.astype(jnp.int32)
             dcnt = dcnt + ts.done.astype(jnp.int32)
         return state, rsum, dcnt
     rng_bits = None
@@ -410,7 +426,7 @@ def fast_rollout(
             ],
             axis=0,
         )
-    boards, score, steps, ep_ret, rsum, dcnt = ps.fused_env_rollout(
+    outs = ps.fused_env_rollout(
         state.boards,
         state.score,
         state.episode_steps,
@@ -418,18 +434,37 @@ def fast_rollout(
         jnp.asarray(state.seed, jnp.int32),
         k_steps,
         rng_bits,
+        stall_state=(
+            (state.consec_action, state.consec_count)
+            if config.shaped else None
+        ),
         terminal_bonus=config.terminal_bonus,
+        stall_limit=config.stall_force_done,
+        reset_shaping=config.reset_shaping,
         block_size=fit_block(b, config.block_size),
         interpret=config.interpret,
     )
-    new_state = FastEnvState(
-        boards=boards,
-        legal=state.legal,
-        score=score,
-        episode_steps=steps,
-        episode_return=ep_ret,
-        seed=state.seed + k_steps,
-    )
+    boards, score, steps, ep_ret, rsum, dcnt = outs[:6]
+    if config.shaped:
+        c_act, c_cnt = outs[6]
+        new_state = state.replace(
+            boards=boards,
+            score=score,
+            episode_steps=steps,
+            episode_return=ep_ret,
+            seed=state.seed + k_steps,
+            consec_action=c_act,
+            consec_count=c_cnt,
+        )
+    else:
+        new_state = FastEnvState(
+            boards=boards,
+            legal=state.legal,
+            score=score,
+            episode_steps=steps,
+            episode_return=ep_ret,
+            seed=state.seed + k_steps,
+        )
     return new_state, rsum, dcnt
 
 
@@ -803,18 +838,19 @@ def fast_rollout_eval(
     ``latch`` and live (pre-latch) actions are counted per direction.
     The ``backend="lax"`` oracle reproduces the kernel bit-for-bit on
     the external-RNG path (tests/test_pallas_step.py).
+
+    SHAPED configs run too (the stall cutoff lanes advance in-kernel on
+    the resolved action — VERDICT r4 #8): the latched stats are
+    reward-free (merge score / length / max tile), so the shaped reward
+    channel staying host-side costs eval nothing.
     """
     b = state.batch_size
-    if config.shaped:
-        raise ValueError(
-            "fast_rollout_eval is the simple-reward random-policy path; "
-            "shaped random eval steps the lax engine (see "
-            "_shaped_fast_step's action-stream requirement)."
-        )
     if config.backend == "lax":
         # Oracle: step-by-step, latches maintained in lax ops. The
         # resolved random action is recomputed from the same bit row the
-        # step consumes (shared helper _rand_legal_action).
+        # step consumes (shared helper _rand_legal_action). Shaped configs
+        # feed it explicitly — the shaped step's stall counters are a
+        # function of the action stream.
         for _ in range(k_steps):
             bits0 = jax.random.bits(
                 jax.random.fold_in(jax.random.PRNGKey(2048), state.seed),
@@ -825,7 +861,9 @@ def fast_rollout_eval(
             act = _rand_legal_action(legal, bits0)
             pre_score = state.score
             pre_steps = state.episode_steps
-            state, ts = fast_step(config, state)
+            state, ts = fast_step(
+                config, state, act if config.shaped else None
+            )
             live = latch.latched == 0
             newly = live & ts.done
             one = jnp.int32(1)
@@ -861,7 +899,7 @@ def fast_rollout_eval(
             ],
             axis=0,
         )
-    boards, score, steps, ep_ret, _rsum, _dcnt, lat = ps.fused_env_rollout(
+    outs = ps.fused_env_rollout(
         state.boards,
         state.score,
         state.episode_steps,
@@ -871,18 +909,37 @@ def fast_rollout_eval(
         rng_bits,
         (latch.latched, latch.score, latch.steps, latch.max_exp,
          latch.action_counts),
+        stall_state=(
+            (state.consec_action, state.consec_count)
+            if config.shaped else None
+        ),
         terminal_bonus=config.terminal_bonus,
+        stall_limit=config.stall_force_done,
+        reset_shaping=config.reset_shaping,
         block_size=fit_block(b, config.block_size),
         interpret=config.interpret,
     )
-    new_state = FastEnvState(
-        boards=boards,
-        legal=state.legal,
-        score=score,
-        episode_steps=steps,
-        episode_return=ep_ret,
-        seed=state.seed + k_steps,
-    )
+    boards, score, steps, ep_ret, _rsum, _dcnt, lat = outs[:7]
+    if config.shaped:
+        c_act, c_cnt = outs[7]
+        new_state = state.replace(
+            boards=boards,
+            score=score,
+            episode_steps=steps,
+            episode_return=ep_ret,
+            seed=state.seed + k_steps,
+            consec_action=c_act,
+            consec_count=c_cnt,
+        )
+    else:
+        new_state = FastEnvState(
+            boards=boards,
+            legal=state.legal,
+            score=score,
+            episode_steps=steps,
+            episode_return=ep_ret,
+            seed=state.seed + k_steps,
+        )
     new_latch = EvalLatch(
         latched=lat[0], score=lat[1], steps=lat[2], max_exp=lat[3],
         action_counts=lat[4],

@@ -254,7 +254,9 @@ def _evaluate_fast(
     restarts are masked out of the action counts.
     """
     policy = as_policy(policy)
-    if policy.in_kernel_random and env_config.reward == envlib.SIMPLE:
+    if policy.in_kernel_random and env_config.reward in (
+        envlib.SIMPLE, envlib.SHAPED
+    ):
         return _evaluate_fast_random(
             num_games, key, env_config, batch_size, max_steps, fast_backend
         )

@@ -168,7 +168,7 @@ def _tile_value(bits):
 
 
 def _env_step_core(cells, action, rand, force_done=None,
-                   shaped_done: bool = False):
+                   shaped_done: bool = False, stall=None):
     """One env step on 16 (1, blk) int32 cell lanes — the shared core of
     the single-step and multi-step (rollout) kernels.
 
@@ -178,8 +178,17 @@ def _env_step_core(cells, action, rand, force_done=None,
       rand: callable k -> (1, blk) uint32 — the 8 per-step bit rows.
       force_done: optional (1, blk) bool — lanes terminated regardless of
         the board (the shaped env's >100-consecutive-same-actions stall
-        cutoff, Game2048_env.py:123-127; the counter itself lives outside
-        the kernel — it is pure lane arithmetic on the action stream).
+        cutoff, Game2048_env.py:123-127). For EXPLICIT action streams the
+        counter lives outside the kernel (pure lane arithmetic); for the
+        in-kernel random policy pass ``stall`` instead.
+      stall: optional ``(consec_action, consec_count, limit)`` — carried
+        stall lanes ((1, blk) int32 each; limit a static int). The counter
+        advances on the RESOLVED action (which, for random-policy lanes,
+        only exists inside this core — the reason the lane moves in-kernel
+        for rollouts, VERDICT r4 #8): ``count' = same ? count+1 : 1``,
+        and ``count' > limit`` force-terminates the lane (OR-ed into any
+        given ``force_done``). The new count is returned; the new
+        consec_action is the returned resolved ``action``.
       shaped_done: v1 episode-end semantics (Game2048_env.py:97-129):
         ``done = (~moved & game_over) | force_done`` — a dead board ends
         the episode only on the following (necessarily invalid) move —
@@ -207,6 +216,14 @@ def _env_step_core(cells, action, rand, force_done=None,
         rand_act = rand_act + jnp.where(hit, jnp.int32(a), jnp.int32(0))
         csum = csum + moved_d[a]
     action = jnp.where(action < 0, rand_act, action)
+
+    new_count = None
+    if stall is not None:
+        c_act, c_cnt, limit = stall
+        same = action == c_act
+        new_count = jnp.where(same, c_cnt + jnp.int32(1), jnp.int32(1))
+        fd = new_count > jnp.int32(limit)
+        force_done = fd if force_done is None else (force_done | fd)
 
     oh = [action == a for a in range(4)]
     sel = []
@@ -285,7 +302,7 @@ def _env_step_core(cells, action, rand, force_done=None,
         fresh = jnp.where(p1 == i, v1, jnp.where(p2 == i, v2, jnp.int32(0)))
         final_cells.append(jnp.where(done, fresh, new_cells[i]))
     return (final_cells, new_cells, score, moved, done, mx, second,
-            game_over, action)
+            game_over, action, new_count)
 
 
 def _step_kernel(
@@ -323,7 +340,7 @@ def _step_kernel(
         force_done = force_done_ref[0:1, :] != 0
 
     (final_cells, new_cells, score, moved, done, mx, second,
-     game_over, _act) = _env_step_core(
+     game_over, _act, _cnt) = _env_step_core(
         cells, action, rand, force_done=force_done, shaped_done=shaped
     )
     for i in range(16):
@@ -482,6 +499,9 @@ def _rollout_kernel(
     use_prng: bool,
     terminal_bonus: bool,
     latch: bool,
+    shaped: bool,
+    stall_limit: int,
+    reset_shaping: bool,
     seed_ref,
     boards_ref,
     score_ref,
@@ -491,12 +511,18 @@ def _rollout_kernel(
 ):
     refs = list(refs)
     bits_ref = None if use_prng else refs.pop(0)
+    if shaped:
+        cact_ref = refs.pop(0)
+        ccnt_ref = refs.pop(0)
     if latch:
         (latched_ref, fscore_ref, fsteps_ref, fmax_ref,
          acnt_ref) = refs[:5]
         refs = refs[5:]
     (out_ref, oscore_ref, osteps_ref, oret_ref, rsum_ref,
      dcnt_ref, *orest) = refs
+    if shaped:
+        ocact_ref = orest.pop(0)
+        occnt_ref = orest.pop(0)
     if latch:
         (olatched_ref, ofscore_ref, ofsteps_ref, ofmax_ref,
          oacnt_ref) = orest
@@ -511,6 +537,13 @@ def _rollout_kernel(
     action = jnp.full((1, blk), -1, jnp.int32)  # random-legal every step
     rsum = jnp.zeros((1, blk), jnp.int32)
     dcnt = jnp.zeros((1, blk), jnp.int32)
+    if shaped:
+        # Stall lanes (Game2048_env.py:110-127), carried in VMEM across
+        # the window: the counter advances on the RESOLVED random action
+        # inside _env_step_core (VERDICT r4 #8 — the reason shaped random
+        # rollouts previously had to step the single-step path).
+        c_act = cact_ref[0:1, :]
+        c_cnt = ccnt_ref[0:1, :]
     if latch:
         # First-completion latches (the eval harness' per-lane stats) and
         # live-step action counts, carried in VMEM across the window.
@@ -528,21 +561,40 @@ def _rollout_kernel(
             rand = (  # noqa: E731
                 lambda k, o=8 * it: bits_ref[o + k : o + k + 1, :]
             )
-        cells, _, score, moved, done, mx, second, _go, act = _env_step_core(
-            cells, action, rand
+        (cells, _, score, moved, done, mx, second, _go, act,
+         new_cnt) = _env_step_core(
+            cells, action, rand,
+            shaped_done=shaped,
+            stall=(c_act, c_cnt, stall_limit) if shaped else None,
         )
-        # Simple reward (nopenalty:122-138) + optional terminal bonus
-        # (mainDQL:202-213) — all integer-valued, accumulated exactly.
-        reward = jnp.where(~moved & ~done, jnp.int32(-10), score)
-        if terminal_bonus:
-            bonus = jnp.where(
-                mx >= 11,
-                jnp.int32(100),
-                jnp.where((mx >= 10) & (second >= 10), jnp.int32(50),
-                          jnp.int32(0)),
-            )
-            reward = reward + jnp.where(done, bonus, jnp.int32(0))
-        rsum = rsum + reward
+        if shaped:
+            # Post-step lane carry, exactly _shaped_fast_step's: the new
+            # consec action is the resolved action; lanes persist across
+            # auto-resets (Game2048_env.py:187-191) unless reset_shaping.
+            c_act, c_cnt = act, new_cnt
+            if reset_shaping:
+                c_act = jnp.where(done, jnp.int32(-1), c_act)
+                c_cnt = jnp.where(done, jnp.int32(0), c_cnt)
+            # Shaped rewards (log/pow float shaping + the stall penalty
+            # ladder) are host-side lane math by design — the kernel and
+            # the classic env share tpu2048.env.rewards so formulas cannot
+            # drift. A shaped window therefore maintains no reward sums:
+            # the rollout's consumers (random eval latches, done counts,
+            # board evolution) are reward-free.
+            reward = jnp.zeros_like(score)
+        else:
+            # Simple reward (nopenalty:122-138) + optional terminal bonus
+            # (mainDQL:202-213) — integer-valued, accumulated exactly.
+            reward = jnp.where(~moved & ~done, jnp.int32(-10), score)
+            if terminal_bonus:
+                bonus = jnp.where(
+                    mx >= 11,
+                    jnp.int32(100),
+                    jnp.where((mx >= 10) & (second >= 10), jnp.int32(50),
+                              jnp.int32(0)),
+                )
+                reward = reward + jnp.where(done, bonus, jnp.int32(0))
+            rsum = rsum + reward
         dcnt = dcnt + done.astype(jnp.int32)
         if latch:
             live = latched == 0
@@ -572,6 +624,9 @@ def _rollout_kernel(
     oret_ref[0:1, :] = ep_ret
     rsum_ref[0:1, :] = rsum
     dcnt_ref[0:1, :] = dcnt
+    if shaped:
+        ocact_ref[0:1, :] = c_act
+        occnt_ref[0:1, :] = c_cnt
     if latch:
         olatched_ref[0:1, :] = latched.astype(jnp.int8)
         ofscore_ref[0:1, :] = fscore
@@ -583,7 +638,8 @@ def _rollout_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_steps", "block_size", "terminal_bonus", "interpret"),
+    static_argnames=("k_steps", "block_size", "terminal_bonus", "interpret",
+                     "stall_limit", "reset_shaping"),
 )
 def fused_env_rollout(
     boards,
@@ -594,8 +650,11 @@ def fused_env_rollout(
     k_steps: int,
     rng_bits=None,
     latch_state=None,
+    stall_state=None,
     *,
     terminal_bonus: bool = True,
+    stall_limit: int = 100,
+    reset_shaping: bool = False,
     block_size: int = DEFAULT_BLOCK,
     interpret: bool = False,
 ):
@@ -625,22 +684,39 @@ def fused_env_rollout(
         updates them in VMEM across the window (the eval harness'
         latch-first-completion logic, in-kernel) and returns the new
         tuple appended to the outputs.
+      stall_state: optional ``(consec_action, consec_count)`` ``(B,)``
+        int32 lanes — enables SHAPED mode (QLearningBase semantics): the
+        anti-stall counter advances in-kernel on the resolved random
+        action (Game2048_env.py:110-127), ``count > stall_limit`` force-
+        terminates the lane, and the v1 done rule applies
+        (``done = (~moved & game_over) | force_done``). Shaped windows
+        maintain NO reward lanes (``reward_sum`` stays 0 and
+        ``episode_return`` only resets on done): shaped rewards are
+        host-side float shaping (tpu2048.env.rewards) shared with the
+        classic env, and the rollout's consumers — random-eval latches,
+        done counts, board evolution — are reward-free. The updated
+        stall lanes are appended to the outputs (after any latch tuple).
       terminal_bonus: include the driver's terminal bonus
         (mainDQL:202-213) in the reward, as
-        :func:`tpu2048.env.fast.fast_step` does.
+        :func:`tpu2048.env.fast.fast_step` does (simple mode only).
+      stall_limit / reset_shaping: shaped-mode statics — the force-done
+        cutoff (Game2048_env.py:123) and whether shaping lanes clear on
+        auto-reset (EnvConfig.reset_shaping_on_reset; the reference
+        faithfully persists them, Game2048_env.py:187-191).
 
     Returns:
       ``(new_boards, new_score, new_steps, new_episode_return,
-      reward_sum, done_count[, latch_state'])`` — the first four are the
-      carried state after ``k_steps`` steps (episode fields reset on each
-      done, exactly as ``fast_step`` maintains them); ``reward_sum``
-      ``(B,)`` int32 and ``done_count`` ``(B,)`` int32 are per-lane
-      totals over the window.
+      reward_sum, done_count[, latch_state'][, stall_state'])`` — the
+      first four are the carried state after ``k_steps`` steps (episode
+      fields reset on each done, exactly as ``fast_step`` maintains
+      them); ``reward_sum`` ``(B,)`` int32 and ``done_count`` ``(B,)``
+      int32 are per-lane totals over the window.
     """
     b = boards.shape[1]
     if b % block_size:
         raise ValueError(f"batch {b} not divisible by block {block_size}")
     latch = latch_state is not None
+    shaped = stall_state is not None
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     row = lambda i: (0, i)  # noqa: E731
     board_spec = pl.BlockSpec((16, block_size), row, memory_space=pltpu.VMEM)
@@ -668,6 +744,10 @@ def fused_env_rollout(
                          memory_space=pltpu.VMEM)
         )
         inputs.append(rng_bits)
+    if shaped:
+        c_act, c_cnt = stall_state
+        in_specs += [lane_spec, lane_spec]
+        inputs += [c_act.reshape(1, b), c_cnt.reshape(1, b)]
     if latch:
         latched, fscore, fsteps, fmax, acnt = latch_state
         in_specs += [lane_spec, lane_spec, lane_spec, lane_spec, quad_spec]
@@ -689,6 +769,12 @@ def fused_env_rollout(
     ]
     out_specs = [board_spec, lane_spec, lane_spec, lane_spec, lane_spec,
                  lane_spec]
+    if shaped:
+        out_shape += [
+            jax.ShapeDtypeStruct((1, b), jnp.int32),
+            jax.ShapeDtypeStruct((1, b), jnp.int32),
+        ]
+        out_specs += [lane_spec, lane_spec]
     if latch:
         out_shape += [
             jax.ShapeDtypeStruct((1, b), jnp.int8),
@@ -700,7 +786,8 @@ def fused_env_rollout(
         out_specs += [lane_spec, lane_spec, lane_spec, lane_spec, quad_spec]
     outs = pl.pallas_call(
         functools.partial(
-            _rollout_kernel, k_steps, use_prng, terminal_bonus, latch
+            _rollout_kernel, k_steps, use_prng, terminal_bonus, latch,
+            shaped, stall_limit, reset_shaping,
         ),
         grid=(b // block_size,),
         in_specs=in_specs,
@@ -710,9 +797,15 @@ def fused_env_rollout(
     )(*inputs)
     new_boards, oscore, osteps, oret, rsum, dcnt = outs[:6]
     head = (new_boards, oscore[0], osteps[0], oret[0], rsum[0], dcnt[0])
+    rest = list(outs[6:])
+    if shaped:
+        oca, occ = rest[:2]
+        rest = rest[2:]
     if latch:
-        ol, ofs, ofst, ofm, oac = outs[6:]
-        return head + ((ol[0], ofs[0], ofst[0], ofm[0], oac),)
+        ol, ofs, ofst, ofm, oac = rest
+        head = head + ((ol[0], ofs[0], ofst[0], ofm[0], oac),)
+    if shaped:
+        head = head + ((oca[0], occ[0]),)
     return head
 
 
