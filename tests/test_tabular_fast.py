@@ -168,20 +168,24 @@ def test_full_bucket_drops_and_counts():
 def test_kernels_bit_exact_vs_xla_twins(n):
     """The real Pallas kernels (interpret mode) == the jnp twins."""
     rng = np.random.default_rng(n)
-    s = 16 * 32  # 32 buckets
-    data = jnp.asarray(rng.integers(0, 2**32, (s + 1, 8), dtype=np.uint32))
-    buckets = jnp.asarray(rng.integers(0, 32, (n,), dtype=np.int32))
+    nb = 32  # buckets
+    data = jnp.asarray(
+        rng.integers(0, 2**32, (nb + 1, tk.ROW), dtype=np.uint32)
+    )
+    buckets = jnp.asarray(rng.integers(0, nb, (n,), dtype=np.int32))
     np.testing.assert_array_equal(
         np.asarray(tk.bucket_gather(data, buckets, interpret=True)),
         np.asarray(tk.bucket_gather_xla(data, buckets)),
     )
-    slots = jnp.asarray(
-        np.concatenate([rng.choice(s, n - n // 2, replace=False),
-                        np.full((n // 2,), s)]).astype(np.int32)
+    ids = jnp.asarray(
+        np.concatenate([rng.choice(nb, n - n // 2, replace=False),
+                        np.full((n // 2,), nb)]).astype(np.int32)
     )
-    rows = jnp.asarray(rng.integers(0, 2**32, (n, 8), dtype=np.uint32))
-    out_k = tk.slot_scatter(jnp.array(data), slots, rows, interpret=True)
-    out_x = tk.slot_scatter_xla(jnp.array(data), slots, rows)
+    rows = jnp.asarray(
+        rng.integers(0, 2**32, (n, tk.BUCKET, tk.WIDTH), dtype=np.uint32)
+    )
+    out_k = tk.bucket_scatter(jnp.array(data), ids, rows, interpret=True)
+    out_x = tk.bucket_scatter_xla(jnp.array(data), ids, rows)
     # Trash row (last) is excluded: duplicate writes land there in
     # unspecified order by contract.
     np.testing.assert_array_equal(np.asarray(out_k)[:-1], np.asarray(out_x)[:-1])

@@ -1,16 +1,17 @@
 """Packed Q-table fast path: the tabular hot loop on explicit-DMA kernels.
 
 The training-internal representation of :class:`tpu2048.agents.tabular.QTable`
-used by the tabular train driver: one slot-major ``(S + 1, 8) uint32``
-array (``ops/table_kernel.py`` layout — per row ``[key_lo, key_hi,
-q0..q3 bitcast, pad, pad]``, row ``S`` = write-only trash). All big-table
-traffic per train step is exactly THREE kernel ops — gather(s-buckets),
-gather(s'-buckets), scatter(updated slot rows) — instead of the ~10
-serialized XLA gathers/scatters of the legacy path (docs/DESIGN.md §5b³).
-Probe/claim/TD logic runs on the small gathered ``(B, 16, 8)`` arrays in
-plain jnp, SHARED between the Pallas and the XLA backends, so the two
-backends are bit-exact by construction and the only difference under test
-is how bytes move.
+used by the tabular train driver: one bucket-row ``(n_buckets + 1, 128)
+uint32`` array (``ops/table_kernel.py`` layout — bucket = one aligned
+128-lane row of 16 slot-major slots ``[key_lo, key_hi, q0..q3 bitcast,
+pad, pad]``; the extra row is write-only trash). All big-table traffic
+per train step is exactly THREE kernel ops — gather(s-buckets),
+gather(s'-buckets), scatter(merged updated bucket images) — instead of
+the ~10 serialized XLA gathers/scatters of the legacy path
+(docs/DESIGN.md §5b³). Probe/claim/TD logic runs on the small gathered
+``(B, 16, 8)`` arrays in plain jnp, SHARED between the Pallas and the XLA
+backends, so the two backends are bit-exact by construction and the only
+difference under test is how bytes move.
 
 Semantics vs the legacy ops (tpu2048/agents/tabular.py):
 
@@ -38,27 +39,29 @@ from tpu2048.ops import table_kernel as tk
 
 assert tk.BUCKET == tab.PROBES, "kernel bucket width must match PROBES"
 
+_BIG = jnp.int32(0x7FFFFFFF)
+
 
 @struct.dataclass
 class PackedQTable:
-    data: jax.Array  # (S + 1, 8) uint32; row S = write-only trash
+    data: jax.Array  # (n_buckets + 1, 128) uint32; last row = trash
     dropped: jax.Array  # () int32
 
     @property
     def capacity(self) -> int:
-        return self.data.shape[0] - 1
+        return (self.data.shape[0] - 1) * tk.BUCKET
 
     @property
     def occupied(self) -> jax.Array:
         """(S,) bool — same key-sentinel rule as QTable.occupied."""
-        d = self.data[:-1]
+        d = self.data[:-1].reshape(-1, tk.WIDTH)
         return (d[:, 0] != 0) | (d[:, 1] != 0)
 
 
 def pack_qtable(table: tab.QTable) -> PackedQTable:
     """QTable -> packed layout (one-time, at train start / load)."""
     s = table.capacity
-    data = jnp.concatenate(
+    slots = jnp.concatenate(
         [
             table.key_lo[:, None],
             table.key_hi[:, None],
@@ -66,14 +69,15 @@ def pack_qtable(table: tab.QTable) -> PackedQTable:
             jnp.zeros((s, 2), jnp.uint32),
         ],
         axis=1,
-    )
-    data = jnp.concatenate([data, jnp.zeros((1, tk.WIDTH), jnp.uint32)])
+    )  # (S, 8)
+    data = slots.reshape(s // tk.BUCKET, tk.ROW)
+    data = jnp.concatenate([data, jnp.zeros((1, tk.ROW), jnp.uint32)])
     return PackedQTable(data=data, dropped=table.dropped)
 
 
 def unpack_qtable(packed: PackedQTable) -> tab.QTable:
     """Packed -> QTable (for save_qtable / eval / the legacy oracle)."""
-    d = packed.data[:-1]
+    d = packed.data[:-1].reshape(-1, tk.WIDTH)
     return tab.QTable(
         key_lo=d[:, 0],
         key_hi=d[:, 1],
@@ -83,9 +87,9 @@ def unpack_qtable(packed: PackedQTable) -> tab.QTable:
 
 
 def packed_init(capacity_log2: int) -> PackedQTable:
-    s = 1 << capacity_log2
+    nb = (1 << capacity_log2) // tk.BUCKET
     return PackedQTable(
-        data=jnp.zeros((s + 1, tk.WIDTH), jnp.uint32),
+        data=jnp.zeros((nb + 1, tk.ROW), jnp.uint32),
         dropped=jnp.zeros((), jnp.int32),
     )
 
@@ -98,14 +102,12 @@ def _gather(packed: PackedQTable, buckets, backend: str):
     return tk.bucket_gather_xla(packed.data, buckets)
 
 
-def _scatter(packed: PackedQTable, slots, rows, backend: str):
+def _scatter(packed: PackedQTable, buckets, rows, backend: str):
     if backend == "pallas":
-        data = tk.slot_scatter(packed.data, slots, rows)
-    elif backend == "interpret":
-        data = tk.slot_scatter(packed.data, slots, rows, interpret=True)
-    else:
-        data = tk.slot_scatter_xla(packed.data, slots, rows)
-    return data
+        return tk.bucket_scatter(packed.data, buckets, rows)
+    if backend == "interpret":
+        return tk.bucket_scatter(packed.data, buckets, rows, interpret=True)
+    return tk.bucket_scatter_xla(packed.data, buckets, rows)
 
 
 def _probe_gathered(g, lo, hi):
@@ -142,8 +144,9 @@ def fast_choose_actions_probed(
 
     Bit-exact with :func:`tpu2048.agents.tabular.choose_actions_probed`
     given the same key (identical RNG op sequence + identical Q reads).
-    Returns ``(actions, probe)`` where ``probe`` carries everything
-    :func:`fast_update` needs to skip re-reading the s-buckets.
+    Returns ``(actions, probe)`` where ``probe`` carries the gathered
+    bucket images and the probe results — everything :func:`fast_update`
+    needs to skip re-reading the s-buckets.
     """
     b = boards.shape[0]
     k_expl, k_act = jax.random.split(key)
@@ -155,7 +158,7 @@ def fast_choose_actions_probed(
     match_idx, free_idx, q_rows = _probe_gathered(g, lo, hi)
     greedy = jnp.argmax(q_rows, axis=-1).astype(jnp.int32)
     actions = jnp.where(explore, random_actions, greedy)
-    return actions, (lo, hi, bucket, match_idx, free_idx, q_rows)
+    return actions, (lo, hi, bucket, g, match_idx, free_idx, q_rows)
 
 
 def fast_targets(
@@ -172,29 +175,32 @@ def fast_targets(
 
 
 def resolve_updates(probe, actions, targets, learning_rate, trash: int):
-    """Shared claim/dedup resolution: probe + TD -> distinct row writes.
+    """Shared claim/merge resolution: probe + TD -> distinct bucket images.
 
     Semantics (all backends; see module docstring for the one documented
     delta vs the legacy scatter):
 
     * every entry's TD uses the PRE-update Q (additive batch combining,
       like the legacy scatter-add);
-    * same-slot entries group; a group's row write accumulates every
-      member's TD contribution;
-    * a group claiming a FREE slot keeps only members sharing the
-      lowest-batch-index member's key — other keys lose the claim, drop,
-      and count (the legacy claim-verify drop, deterministic winner);
+    * same-BUCKET entries group (stable sort); the group's write is ONE
+      rebuilt bucket image — the (shared) gathered base with every kept
+      member's contribution applied: Q deltas add per (slot, action),
+      claimed keys set their slot's key words;
+    * entries claiming a FREE slot keep only those sharing the group's
+      lowest-batch-index claimant's key — other keys lose the claim, drop,
+      and count (all of a bucket's claimants target the same first-free
+      slot, so the race is exactly the legacy one with a deterministic
+      winner);
     * entries with no slot (full bucket) drop and count.
 
-    Returns ``(slots, rows, n_dropped)`` with ``slots[i]`` in
-    ``[0, trash]`` and mutually distinct below ``trash`` — the
-    slot_scatter contract.
+    Returns ``(bucket_ids, rows, n_dropped)`` with ``bucket_ids[i]`` in
+    ``[0, trash]``, mutually distinct below ``trash``, and ``rows``
+    ``(B, 16, 8)`` uint32 images — the bucket_scatter contract.
     """
-    lo, hi, bucket, match_idx, free_idx, q_rows = probe
+    lo, hi, bucket, g, match_idx, free_idx, q_rows = probe
     b = lo.shape[0]
-    idx = jnp.where(match_idx >= 0, match_idx, free_idx)
+    idx = jnp.where(match_idx >= 0, match_idx, free_idx)  # slot-in-bucket
     valid = idx >= 0
-    slot = bucket * tab.PROBES + jnp.maximum(idx, 0)
     is_new = (match_idx < 0) & valid
 
     onehot = jax.nn.one_hot(actions, 4, dtype=jnp.float32)
@@ -205,48 +211,69 @@ def resolve_updates(probe, actions, targets, learning_rate, trash: int):
         learning_rate * (targets - q_sa)
     )[:, None] * onehot  # (B, 4) contribution of each entry
 
-    # Group by slot: stable sort keeps batch order inside a group, so the
-    # group leader (first sorted member) is the lowest batch index.
-    sort_key = jnp.where(valid, slot, jnp.int32(0x7FFFFFFF))
+    # Group by bucket: stable sort keeps batch order inside a group.
+    sort_key = jnp.where(valid, bucket, _BIG)
     order = jnp.argsort(sort_key, stable=True)
-    s_slot = sort_key[order]
+    s_bucket = sort_key[order]
     s_valid = valid[order]
+    s_new = is_new[order]
+    s_idx = jnp.maximum(idx[order], 0)
+    s_lo, s_hi = lo[order], hi[order]
     pos = jnp.arange(b, dtype=jnp.int32)
     is_lead = jnp.concatenate(
-        [jnp.ones((1,), bool), s_slot[1:] != s_slot[:-1]]
-    )
-    # Index of each entry's group leader (max-scan of leader positions).
-    lead_pos = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_lead, pos, 0)
+        [jnp.ones((1,), bool), s_bucket[1:] != s_bucket[:-1]]
     )
     group = jnp.cumsum(is_lead.astype(jnp.int32)) - 1  # (B,) segment ids
 
-    # Claim verification: members of a NEW group must share the leader's
-    # key; the leader itself always keeps (it wrote the key).
-    s_lo, s_hi = lo[order], hi[order]
-    s_new = is_new[order]
-    key_ok = (s_lo == s_lo[lead_pos]) & (s_hi == s_hi[lead_pos])
+    # Claim verification: all of a group's NEW entries share first_free,
+    # so the claim winner is the group's lowest-batch-index new entry;
+    # kept claimants must share its key.
+    claim_pos = jax.ops.segment_min(
+        jnp.where(s_new, pos, _BIG), group, num_segments=b
+    )
+    cp = jnp.clip(claim_pos[group], 0, b - 1)
+    key_ok = (s_lo == s_lo[cp]) & (s_hi == s_hi[cp])
     keep = s_valid & (~s_new | key_ok)
-    n_dropped = jnp.sum((~keep & s_valid) | ~s_valid, axis=0).astype(
-        jnp.int32
+    n_dropped = jnp.sum(
+        ((~keep & s_valid) | ~s_valid).astype(jnp.int32), axis=0
     )
 
-    contrib = jnp.where(keep[:, None], td_rows[order], 0.0)
-    td_sum = jax.ops.segment_sum(contrib, group, num_segments=b)  # (B, 4)
-    new_q = q_rows[order][lead_pos] + td_sum[group]  # leader's pre-Q + group TD
+    # Per-entry image contributions, merged per group.
+    slot_oh = jax.nn.one_hot(s_idx, tk.BUCKET, dtype=jnp.float32)  # (B, 16)
+    keep_f = keep.astype(jnp.float32)
+    q_delta = (
+        slot_oh[:, :, None] * td_rows[order][:, None, :] * keep_f[:, None, None]
+    )  # (B, 16, 4)
+    q_sum = jax.ops.segment_sum(q_delta, group, num_segments=b)
+    claim_mask = (keep & s_new).astype(jnp.uint32)[:, None] * slot_oh.astype(
+        jnp.uint32
+    )  # (B, 16) 1 where this entry claims that slot
+    klo_set = jax.ops.segment_max(
+        claim_mask * s_lo[:, None], group, num_segments=b
+    )
+    khi_set = jax.ops.segment_max(
+        claim_mask * s_hi[:, None], group, num_segments=b
+    )
 
+    base = g[order]  # (B, 16, 8) — identical for all members of a group
+    new_klo = jnp.maximum(base[:, :, 0], klo_set)  # claimed slots were 0
+    new_khi = jnp.maximum(base[:, :, 1], khi_set)
+    new_q = (
+        jax.lax.bitcast_convert_type(base[:, :, 2:6], jnp.float32)
+        + q_sum[group]
+    )
     rows = jnp.concatenate(
         [
-            s_lo[:, None],
-            s_hi[:, None],
+            new_klo[:, :, None],
+            new_khi[:, :, None],
             jax.lax.bitcast_convert_type(new_q, jnp.uint32),
-            jnp.zeros((b, 2), jnp.uint32),
+            jnp.zeros((b, tk.BUCKET, 2), jnp.uint32),
         ],
-        axis=1,
-    )
+        axis=2,
+    )  # (B, 16, 8)
     write = is_lead & s_valid
-    slots = jnp.where(write, s_slot, trash)
-    return slots, rows, n_dropped
+    bucket_ids = jnp.where(write, s_bucket, trash)
+    return bucket_ids, rows, n_dropped
 
 
 def fast_update(
@@ -259,10 +286,11 @@ def fast_update(
     SAME table and boards (the table does not change between action
     selection and the update, exactly like the legacy probe reuse).
     """
-    slots, rows, n_dropped = resolve_updates(
-        probe, actions, targets, learning_rate, trash=packed.capacity
+    bucket_ids, rows, n_dropped = resolve_updates(
+        probe, actions, targets, learning_rate,
+        trash=packed.data.shape[0] - 1,
     )
-    data = _scatter(packed, slots, rows, backend)
+    data = _scatter(packed, bucket_ids, rows, backend)
     return PackedQTable(data=data, dropped=packed.dropped + n_dropped)
 
 

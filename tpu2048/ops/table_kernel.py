@@ -1,4 +1,4 @@
-"""Pallas TPU kernels for the hashed Q-table: bucket gather + slot scatter.
+"""Pallas TPU kernels for the hashed Q-table: bucket gather + bucket scatter.
 
 Why these exist (docs/DESIGN.md §5b³, measured on the real chip in r4):
 XLA lowers gathers/scatters against the 0.1-1 GB Q-table arrays to an
@@ -10,22 +10,27 @@ measured 10x WORSE (§5b³'s negative result). The design conclusion was
 that only explicit per-bucket DMA bypasses XLA's per-row serialization;
 these kernels are that path.
 
-Layout: the packed table is ONE slot-major uint32 array ``(S + 1, 8)`` —
-row ``s`` = ``[key_lo, key_hi, q0..q3 (f32 bitcast), pad, pad]`` — so a
-16-slot bucket is one contiguous 512 B block ``rows [16b, 16b+16)`` and a
-single slot update (claimed key + its whole Q-row) is one contiguous 32 B
-row write. Row ``S`` is a write-only TRASH row: entries with nothing to
-write (dropped updates, non-leaders of a deduplicated group) are directed
-there so the scatter runs with a static shape and no in-kernel branching.
+Layout: one BUCKET = one 128-lane uint32 row. The packed table is
+``(n_buckets + 1, 128)``: row ``b`` holds bucket ``b``'s 16 slots
+slot-major — slot ``j`` occupies words ``[8j, 8j+8)`` as ``[key_lo,
+key_hi, q0..q3 (f32 bitcast), pad, pad]``. This makes every DMA exactly
+one aligned (1, 128) row slice of HBM — Mosaic requires HBM slices to be
+128-lane aligned in the minor dimension, which is also why updates write
+whole 512 B bucket images (rebuilt from the already-gathered base) rather
+than 32 B slot rows: callers pre-merge all of a bucket's slot updates
+into one image (agents/tabular_fast.resolve_updates), which additionally
+collapses same-bucket updates into ONE write. Row ``n_buckets`` is a
+write-only TRASH row: entries with nothing to write (dropped updates,
+non-leaders of a merged bucket group) are directed there so the scatter
+runs with a static shape and no in-kernel branching.
 
 Kernels (both: scalar-prefetched indices, manual ``make_async_copy`` ring
 of ``DMA_RING`` in-flight copies, grid = 1):
 
-* :func:`bucket_gather` — ``out[i] = data[16*bucket[i] : 16*bucket[i]+16]``
-  for B buckets; the probe read of the train step (select, target lookup).
-* :func:`slot_scatter` — ``data[slot[i]] = rows[i]`` for B pre-resolved
-  DISTINCT slot rows (callers deduplicate same-slot updates first — see
-  agents/tabular_fast.resolve_updates); in-place via input_output_aliases.
+* :func:`bucket_gather` — ``out[i] = data[bucket[i]]``; the probe read of
+  the train step (action select, target lookup).
+* :func:`bucket_scatter` — ``data[idx[i]] = rows[i]`` for pre-merged
+  DISTINCT bucket images; in-place via input_output_aliases.
 
 Both have a pure-jnp twin (``*_xla``) with identical semantics — the
 differential oracle for interpret-mode tests and the CPU fallback.
@@ -46,8 +51,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 #: Slots per bucket — must match agents.tabular.PROBES (asserted there).
 BUCKET = 16
-#: uint32 words per slot row: [key_lo, key_hi, q0..q3, pad, pad].
+#: uint32 words per slot: [key_lo, key_hi, q0..q3, pad, pad].
 WIDTH = 8
+#: uint32 words per bucket row — exactly one 128-lane vector register /
+#: one aligned HBM tile row.
+ROW = BUCKET * WIDTH
 #: In-flight DMA copies. Deep enough to hide HBM latency (~1 us) behind
 #: the per-iteration issue cost; a deeper ring buys nothing once issue
 #: becomes the bottleneck.
@@ -55,15 +63,14 @@ DMA_RING = 8
 
 
 def _gather_kernel(idx_ref, data_ref, out_ref, sems):
-    """out[i] <- data[16*idx[i] : 16*idx[i]+16] with a DMA ring."""
+    """out[i] <- data[idx[i]] ((1, 128) row copies, DMA ring)."""
     b = out_ref.shape[0]
     ring = min(DMA_RING, b)
 
     def copy(i):
-        row = idx_ref[i] * BUCKET
         return pltpu.make_async_copy(
-            data_ref.at[pl.ds(row, BUCKET), :],
-            out_ref.at[i],
+            data_ref.at[pl.ds(idx_ref[i], 1), :],
+            out_ref.at[pl.ds(i, 1), :],
             sems.at[jax.lax.rem(i, ring)],
         )
 
@@ -85,9 +92,9 @@ def _gather_kernel(idx_ref, data_ref, out_ref, sems):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def bucket_gather(data: jax.Array, buckets: jax.Array,
                   interpret: bool = False) -> jax.Array:
-    """Gather B bucket blocks: ``(S+1, 8) u32, (B,) i32 -> (B, 16, 8)``."""
+    """Gather B bucket rows: ``(NB+1, 128) u32, (B,) i32 -> (B, 16, 8)``."""
     b = buckets.shape[0]
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _gather_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -96,13 +103,14 @@ def bucket_gather(data: jax.Array, buckets: jax.Array,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.SemaphoreType.DMA((min(DMA_RING, b),))],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, BUCKET, WIDTH), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((b, ROW), jnp.uint32),
         interpret=interpret,
     )(buckets, data)
+    return out.reshape(b, BUCKET, WIDTH)
 
 
 def _scatter_kernel(idx_ref, data_ref, rows_ref, out_ref, sems):
-    """data[idx[i]] <- rows[i] (32 B row writes, DMA ring).
+    """data[idx[i]] <- rows[i] ((1, 128) row writes, DMA ring).
 
     ``data_ref`` is aliased to ``out_ref`` (in-place); every copy writes
     into ``out_ref`` so untouched rows keep their input contents.
@@ -133,14 +141,17 @@ def _scatter_kernel(idx_ref, data_ref, rows_ref, out_ref, sems):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=0)
-def slot_scatter(data: jax.Array, slots: jax.Array, rows: jax.Array,
-                 interpret: bool = False) -> jax.Array:
-    """Write B slot rows in place: ``data[slots[i]] = rows[i]``.
+def bucket_scatter(data: jax.Array, buckets: jax.Array, rows: jax.Array,
+                   interpret: bool = False) -> jax.Array:
+    """Write B bucket images in place: ``data[buckets[i]] = rows[i]``.
 
-    ``slots`` must be mutually distinct except for the trash row ``S``
-    (where last-write-wins is fine because the row is never read); callers
-    pre-deduplicate real slots (agents/tabular_fast.resolve_updates).
+    ``buckets`` must be mutually distinct except for the trash row
+    ``n_buckets`` (where last-write-wins is fine because the row is never
+    read); callers pre-merge same-bucket updates into one image
+    (agents/tabular_fast.resolve_updates). ``rows`` is ``(B, 16, 8)`` or
+    ``(B, 128)`` uint32.
     """
+    rows = rows.reshape(rows.shape[0], ROW)
     return pl.pallas_call(
         _scatter_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -158,7 +169,7 @@ def slot_scatter(data: jax.Array, slots: jax.Array, rows: jax.Array,
         out_shape=jax.ShapeDtypeStruct(data.shape, data.dtype),
         input_output_aliases={1: 0},  # data (after the 1 scalar arg) -> out
         interpret=interpret,
-    )(slots, data, rows)
+    )(buckets, data, rows)
 
 
 # ---------------------------------------------------------------------------
@@ -167,13 +178,13 @@ def slot_scatter(data: jax.Array, slots: jax.Array, rows: jax.Array,
 # ---------------------------------------------------------------------------
 
 def bucket_gather_xla(data: jax.Array, buckets: jax.Array) -> jax.Array:
-    s = data.shape[0] - 1
-    return data[:s].reshape(s // BUCKET, BUCKET, WIDTH)[buckets]
+    nb = data.shape[0] - 1
+    return data[:nb][buckets].reshape(buckets.shape[0], BUCKET, WIDTH)
 
 
-def slot_scatter_xla(data: jax.Array, slots: jax.Array,
-                     rows: jax.Array) -> jax.Array:
-    # Distinct real slots by contract; trash-row duplicates may land in any
-    # order (the row is never read), matching the kernel's in-flight DMA
-    # nondeterminism there.
-    return data.at[slots].set(rows)
+def bucket_scatter_xla(data: jax.Array, buckets: jax.Array,
+                       rows: jax.Array) -> jax.Array:
+    # Distinct real buckets by contract; trash-row duplicates may land in
+    # any order (the row is never read), matching the kernel's in-flight
+    # DMA nondeterminism there.
+    return data.at[buckets].set(rows.reshape(rows.shape[0], ROW))
