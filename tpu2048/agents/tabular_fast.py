@@ -53,35 +53,60 @@ class PackedQTable:
 
     @property
     def occupied(self) -> jax.Array:
-        """(S,) bool — same key-sentinel rule as QTable.occupied."""
-        d = self.data[:-1].reshape(-1, tk.WIDTH)
-        return (d[:, 0] != 0) | (d[:, 1] != 0)
+        """(S,) bool — same key-sentinel rule as QTable.occupied.
+
+        Implemented with strided-LANE slices (``[:, word::WIDTH]``), never
+        a full-table ``(S, WIDTH)`` reshape: XLA gives a ``u32[S, 8]``
+        intermediate the full (8, 128) tile layout — a 16× lane padding
+        that at the run-of-record capacity 2²⁵ is 16 GB of HBM (measured
+        OOM, r5). Strided slices keep every temp at ``(n_buckets, 16)``,
+        and ``reshape(-1)`` restores global slot order (slot = bucket ·
+        BUCKET + lane/WIDTH) because slots are lane-major within a row.
+        """
+        d = self.data[:-1]
+        return ((d[:, 0 :: tk.WIDTH] != 0) | (d[:, 1 :: tk.WIDTH] != 0)).reshape(-1)
 
 
 def pack_qtable(table: tab.QTable) -> PackedQTable:
-    """QTable -> packed layout (one-time, at train start / load)."""
+    """QTable -> packed layout (one-time, at train start / load).
+
+    Writes each slot word as a strided-lane update on the final
+    ``(n_buckets, ROW)`` array instead of materializing a ``(S, WIDTH)``
+    intermediate — see ``PackedQTable.occupied`` for why (16× tile
+    padding → OOM at capacity 2²⁵). ``(S, 4)``-shaped operands are fine:
+    the legacy table stores ``q`` that way through full 200k-game runs.
+    """
     s = table.capacity
-    slots = jnp.concatenate(
-        [
-            table.key_lo[:, None],
-            table.key_hi[:, None],
-            jax.lax.bitcast_convert_type(table.q, jnp.uint32),
-            jnp.zeros((s, 2), jnp.uint32),
-        ],
-        axis=1,
-    )  # (S, 8)
-    data = slots.reshape(s // tk.BUCKET, tk.ROW)
+    nb = s // tk.BUCKET
+    data = jnp.zeros((nb, tk.ROW), jnp.uint32)
+    data = data.at[:, 0 :: tk.WIDTH].set(table.key_lo.reshape(nb, tk.BUCKET))
+    data = data.at[:, 1 :: tk.WIDTH].set(table.key_hi.reshape(nb, tk.BUCKET))
+    qu = jax.lax.bitcast_convert_type(table.q, jnp.uint32)  # (S, 4)
+    for j in range(4):
+        data = data.at[:, 2 + j :: tk.WIDTH].set(qu[:, j].reshape(nb, tk.BUCKET))
     data = jnp.concatenate([data, jnp.zeros((1, tk.ROW), jnp.uint32)])
     return PackedQTable(data=data, dropped=table.dropped)
 
 
 def unpack_qtable(packed: PackedQTable) -> tab.QTable:
-    """Packed -> QTable (for save_qtable / eval / the legacy oracle)."""
-    d = packed.data[:-1].reshape(-1, tk.WIDTH)
+    """Packed -> QTable (for save_qtable / eval / the legacy oracle).
+
+    Strided-lane reads for the same layout reason as ``pack_qtable``.
+    """
+    d = packed.data[:-1]  # (n_buckets, ROW)
+    q = jnp.stack(
+        [
+            jax.lax.bitcast_convert_type(
+                d[:, 2 + j :: tk.WIDTH], jnp.float32
+            ).reshape(-1)
+            for j in range(4)
+        ],
+        axis=1,
+    )  # (S, 4) — the legacy layout, known-safe at 2²⁵
     return tab.QTable(
-        key_lo=d[:, 0],
-        key_hi=d[:, 1],
-        q=jax.lax.bitcast_convert_type(d[:, 2:6], jnp.float32),
+        key_lo=d[:, 0 :: tk.WIDTH].reshape(-1),
+        key_hi=d[:, 1 :: tk.WIDTH].reshape(-1),
+        q=q,
         dropped=packed.dropped,
     )
 
