@@ -266,3 +266,18 @@ def test_demo_table_policy_plays(tmp_path):
     for _ in range(12):
         session.step_auto()
     assert session.moves > 0 and session.score >= 0
+
+
+def test_cli_warm_start_missing_source_exits_permanent(tmp_path):
+    """A missing --warm-start source is a permanent configuration error:
+    the CLI must return 2 (the code train_supervised.sh never retries),
+    not 1 — a supervisor crash-looping 20 restarts against a deleted
+    checkpoint directory burns the chip budget for nothing (observed r5)."""
+    rc = cli_main(
+        ["train", "dqn", "--episodes", "2",
+         "--warm-start", str(tmp_path / "nonexistent_ckpt"),
+         "--features", "8", "--hidden", "16", "--blocks", "1", "--no-bf16",
+         "--envs", "8", "--batch", "8", "--updates-per-step", "1",
+         "--memory-size", "256", "--steps-per-chunk", "4"]
+    )
+    assert rc == 2

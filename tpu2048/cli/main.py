@@ -394,11 +394,20 @@ def cmd_train(args) -> int:
                     )
 
                     model, state = init_loop_state(cfg)
-                    state = warm_start_state(
-                        state, ws,
-                        named=getattr(args, "warm_start_named", None),
-                        step=getattr(args, "warm_start_step", None),
-                    )
+                    try:
+                        state = warm_start_state(
+                            state, ws,
+                            named=getattr(args, "warm_start_named", None),
+                            step=getattr(args, "warm_start_step", None),
+                        )
+                    except FileNotFoundError as e:
+                        # A missing warm-start source never fixes itself:
+                        # exit 2 (the usage-error code train_supervised.sh
+                        # treats as permanent) instead of 1, so a
+                        # supervisor doesn't crash-loop 20 restarts
+                        # against a deleted checkpoint directory.
+                        print(f"error: --warm-start: {e}", file=sys.stderr)
+                        return 2
             train(
                 cfg,
                 total_episodes=args.episodes,
