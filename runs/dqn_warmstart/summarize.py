@@ -36,9 +36,16 @@ def fmt(v):
 
 def main():
     logs = []
-    if os.path.exists("runs/dqn_warmstart/warmup/metrics.jsonl"):
-        logs.append(("warmup (cold, 1,900 ep)",
-                     "runs/dqn_warmstart/warmup/metrics.jsonl"))
+    # Two warmup lineages can exist: the original (source of arm s20) and
+    # the r5c rebuild (source of arm s21 — the original's checkpoints
+    # were wiped by a driver restart; same seed 10, same protocol).
+    for name, label in [
+        ("warmup", "warmup (cold, 1,900 ep; lineage of s20)"),
+        ("warmup_r5c", "warmup_r5c (cold rebuild; lineage of s21)"),
+    ]:
+        path = f"runs/dqn_warmstart/{name}/metrics.jsonl"
+        if os.path.exists(path):
+            logs.append((label, path))
     for d in sorted(glob.glob("runs/dqn_warmstart/s*/")):
         path = os.path.join(d, "metrics.jsonl")
         if not os.path.exists(path):
