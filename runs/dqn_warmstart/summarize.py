@@ -55,10 +55,13 @@ def main():
         rc_path = os.path.join(d, "rc.txt")
         if not os.path.exists(rc_path):
             label += " (in progress / truncated)"
-        elif open(rc_path).read().strip() != "0":
-            print(f"WARNING: skipping {d}: rc != 0 (truncated)",
-                  file=sys.stderr)
-            continue
+        else:
+            rc = open(rc_path).read().strip()
+            if rc != "0":
+                # Include truncated arms (e.g. rc=124, killed at a chip
+                # deadline): their milestone timings up to the cut are
+                # real measurements, just label them honestly.
+                label += f" (truncated, rc={rc})"
         logs.append((label, path))
 
     cols = [
